@@ -272,21 +272,21 @@ class ExampleBuilder:
             sep_indices.append(cur_sep)
         assert len(segment_ids) == len(tokens_loc) == len(token_ids) == len(masked)
         assert len(token_ids) == sep_indices[-1] + 1
-        assert len(token_ids) <= L, (
-            f"sequence too long: {len(token_ids)} > max_seq_len {L}")
-
+        # over-long sequences truncate silently, matching the torch slice
+        # clamping in the reference's list2tensorpad (utils.py:50-56)
+        n = min(len(token_ids), L)
         tokens = np.zeros(L, np.int32)
-        tokens[:len(token_ids)] = token_ids
+        tokens[:n] = token_ids[:n]
         masked_tokens = np.full(L, -1, np.int32)
         marr = np.zeros(L, np.int32)
-        marr[:len(masked)] = masked
+        marr[:n] = masked[:n]
         sel = marr == 1
         masked_tokens[sel] = tokens[sel]
         tokens[sel] = self.MASK
         segments = np.zeros(L, np.int32)
-        segments[:len(segment_ids)] = segment_ids
+        segments[:n] = segment_ids[:n]
         seps = np.zeros(MAX_SEP_LEN, np.int32)
-        seps[:len(sep_indices)] = sep_indices[:MAX_SEP_LEN]
+        seps[:min(len(sep_indices), MAX_SEP_LEN)] = sep_indices[:MAX_SEP_LEN]
 
         padded_locs = np.zeros((L, 4), np.float32)
         legend_belonging = np.zeros((L, 1), np.int32)
@@ -294,7 +294,7 @@ class ExampleBuilder:
             if len(lc) > 4:
                 legend_belonging[i, 0] = int(lc[4])
                 tokens_loc[i] = list(lc[:4])
-        padded_locs[:len(tokens_loc)] = np.asarray(
+        padded_locs[:min(len(tokens_loc), L)] = np.asarray(
             [list(lc[:4]) for lc in tokens_loc], np.float32)[:L]
         return tokens, segments, seps, padded_locs, masked_tokens, legend_belonging
 

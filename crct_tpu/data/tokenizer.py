@@ -99,6 +99,21 @@ class BasicTokenizer:
         return ["".join(x) for x in out]
 
 
+# Word list baked into the synthetic test vocab so fixture sequences stay
+# realistically short (the real vocab has whole-word entries for these).
+DEFAULT_TEST_WORDS = [
+    "revenue", "exports", "imports", "population", "growth", "cost",
+    "energy", "income", "rainfall", "apples", "bananas", "cars", "ships",
+    "dogs", "cats", "students", "teachers", "books", "north", "south",
+    "east", "west", "alpha", "beta", "gamma", "delta", "years", "value",
+    "country", "region", "annual", "total", "average", "difference", "sum",
+    "what", "is", "the", "of", "in", "across", "all", "how", "many", "does",
+    "exceed", "legend", "labels", "label", "title", "axis", "are", "there",
+    "rising", "yes", "no", "vertical", "horizontal", "center", "right",
+    "bottom", "left", "top",
+]
+
+
 class WordPieceTokenizer:
     """Greedy longest-match-first WordPiece over a vocab.
 
@@ -161,7 +176,11 @@ class WordPieceTokenizer:
             if piece not in vocab:
                 vocab[piece] = nxt
                 nxt += 1
-        for w in (words or []):
+        if words is None:
+            words = DEFAULT_TEST_WORDS
+        else:
+            words = list(words) + DEFAULT_TEST_WORDS
+        for w in words:
             for piece in (w, w.lower()):
                 if piece not in vocab and nxt < vocab_size:
                     vocab[piece] = nxt

@@ -1,0 +1,52 @@
+"""Mesh construction and sharding helpers (the DDP replacement).
+
+The reference's ``-ddp -world_size N`` + NCCL rendezvous
+(CRCT/options.py:114-117, train.py:27-28) maps to: call
+``jax.distributed.initialize()`` once per host (multi-host only), build a
+1-D ``data`` mesh over the global device list, shard every batch on its
+leading axis, replicate parameters. ICI carries the intra-slice gradient
+reduction, DCN the cross-slice dimension — XLA chooses the collective
+implementation from the mesh topology.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              devices=None) -> Mesh:
+    """A 1-D data-parallel mesh over (a prefix of) the local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Device-put array values sharded on the leading (batch) axis."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (list, str)):
+            out[k] = v
+        else:
+            out[k] = jax.device_put(v, sharding)
+    return out
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated_sharding(mesh))

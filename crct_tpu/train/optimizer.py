@@ -1,0 +1,115 @@
+"""Optimizer + LR schedule (reference CRCT/utils.py:11-29,228-249).
+
+AdamW with the reference's two learning-rate partition: text-stream
+parameters (the BERT-pretrained weights listed in
+config/language_weights.json) train at ``lr``, everything else (vision
+stream, co-attention, poolers, heads, regressor, location/type embeddings)
+at ``image_lr``. Bias and LayerNorm parameters are excluded from weight
+decay. The schedule is linear warmup to the base LR then linear decay, with
+a per-group floor at ``min_lr`` (WarmupLinearScheduleNonZero).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import optax
+
+
+def _is_language_param(path) -> bool:
+    """Text-stream BERT weights get ``lr``; all else ``image_lr``.
+
+    Mirrors the effective partition of config/language_weights.json: the list
+    names ``bert_pretrained.bert.embeddings.{word,position}_embeddings``,
+    ``...embeddings.LayerNorm`` and ``...encoder.layer.0-11`` (the text
+    layers). The location/type embeddings, vision/co-attention layers,
+    poolers, the bi_seq_relationship head and the regressor are absent from
+    the list, so they take image_lr.
+    """
+    keys = [getattr(p, "key", str(p)) for p in path]
+    if "encoder" in keys and any(k.startswith("t_layer_") for k in keys):
+        return True
+    if "embeddings" in keys and any(
+            k in ("word_embeddings", "position_embeddings", "LayerNorm")
+            for k in keys):
+        # only the *text* embeddings module (bert/embeddings), not v_embeddings
+        return "v_embeddings" not in keys
+    return False
+
+
+def _needs_decay(path) -> bool:
+    """Torch no_decay = ['bias', 'LayerNorm.bias', 'LayerNorm.weight']."""
+    keys = [getattr(p, "key", str(p)) for p in path]
+    if keys and keys[-1] == "bias":
+        return False
+    if "LayerNorm" in keys or any(k.endswith("_ln") for k in keys):
+        return False
+    # flax LayerNorm scale
+    if keys and keys[-1] == "scale":
+        return False
+    return True
+
+
+def warmup_linear_min_schedule(base_lr: float, warmup_steps: int,
+                               t_total: float, min_lr: float):
+    """WarmupLinearScheduleNonZero (reference utils.py:11-29): linear 0->base
+    over warmup, linear base->0 over the rest, floored at min_lr."""
+    def schedule(step):
+        import jax.numpy as jnp
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, float(warmup_steps))
+        decay = jnp.maximum(
+            0.0, (t_total - step) / max(1.0, t_total - warmup_steps))
+        factor = jnp.where(step < warmup_steps, warm, decay)
+        lr = base_lr * factor
+        return jnp.where(lr > min_lr, lr, min_lr)
+    return schedule
+
+
+def make_optimizer(params_dict: Dict[str, Any], model_params,
+                   iters_per_epoch: float) -> optax.GradientTransformation:
+    """Build the 4-way-partitioned AdamW (lang/image x decay/nodecay)."""
+    warmup = params_dict["warmup"]
+    min_lr = params_dict["min_lr"]
+    # reference horizon: iters_per_epoch * 20 regardless of num_epochs
+    # (train.py:87)
+    t_total = float(iters_per_epoch) * 20.0
+    wd = params_dict["wd"]
+
+    def label_fn(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: ("lang" if _is_language_param(path) else "image")
+            + ("_decay" if _needs_decay(path) else "_nodecay"),
+            tree)
+
+    def group(base_lr: float, decay: float) -> optax.GradientTransformation:
+        sched = warmup_linear_min_schedule(base_lr, warmup, t_total, min_lr)
+        chain = [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)]
+        if decay > 0:
+            chain.append(optax.add_decayed_weights(decay))
+        chain.append(optax.scale_by_learning_rate(sched))
+        return optax.chain(*chain)
+
+    tx = optax.multi_transform(
+        {
+            "lang_decay": group(params_dict["lr"], wd),
+            "lang_nodecay": group(params_dict["lr"], 0.0),
+            "image_decay": group(params_dict["image_lr"], wd),
+            "image_nodecay": group(params_dict["image_lr"], 0.0),
+        },
+        label_fn,
+    )
+    return tx
+
+
+def current_lr(params_dict: Dict[str, Any], iters_per_epoch: float, step: int) -> float:
+    """Host-side LR readout for logging."""
+    t_total = float(iters_per_epoch) * 20.0
+    warmup = params_dict["warmup"]
+    if step < warmup:
+        factor = step / max(1.0, warmup)
+    else:
+        factor = max(0.0, (t_total - step) / max(1.0, t_total - warmup))
+    lr = params_dict["lr"] * factor
+    return lr if lr > params_dict["min_lr"] else params_dict["min_lr"]

@@ -1,0 +1,242 @@
+"""Jitted training step and epoch loop (reference CRCT/train.py).
+
+One compiled ``train_step(params, opt_state, batch, rng) ->
+(params, opt_state, metrics)`` carries the whole hot path: forward, losses,
+backward, AdamW update and the 9-slot metric vector. Data parallelism comes
+from batch sharding over the mesh — XLA inserts the gradient all-reduce
+(replacing DDP backward hooks, train.py:208) and the metric reduction
+(replacing the explicit NCCL all_reduce, train.py:184-191). bf16 activations
+replace CUDA AMP; no loss scaling is needed on TPU.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from time import gmtime, strftime
+from timeit import default_timer as timer
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from crct_tpu.models.crct import CRCTModel, build_model
+from crct_tpu.parallel.mesh import (batch_sharding, make_mesh, replicate,
+                                    shard_batch)
+from crct_tpu.train.optimizer import current_lr, make_optimizer
+from crct_tpu.utils.checkpoint import (checkpoint_name, epoch_from_name,
+                                       load_checkpoint, save_checkpoint,
+                                       transfer_params)
+from crct_tpu.utils.logging import init_log_file, log_line
+
+# device-array batch keys consumed by the jitted step
+STEP_KEYS = ["tokens", "segments", "loc", "sep_indices", "hist_len",
+             "image_feat", "image_loc", "image_mask", "image_target", "R",
+             "next_sentence_labels", "area"]
+
+
+def device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: batch[k] for k in STEP_KEYS if k in batch}
+
+
+def make_train_step(model: CRCTModel, tx: optax.GradientTransformation):
+    """Returns the jittable (params, opt_state, batch, rng) -> ... step."""
+
+    def train_step(params, opt_state, batch, dropout_rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, batch, train=True,
+                              rngs={"dropout": dropout_rng})
+            return out.loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        needs = out.needs_reg
+        num_regs = jnp.sum(needs)
+        denom = jnp.maximum(num_regs, 1).astype(jnp.float32)
+        reg_loss_mean = jnp.sum(out.reg_loss) / denom
+        reg_5_dist_mean = jnp.sum(out.reg_5_dist) / denom
+        # 9-slot metric vector (reference train.py:181-191):
+        # [loss, lm_loss, nsp_loss, reg_loss, reg_5_dist, legend_loss,
+        #  num_regs, reg_5_right, reg_t_right]
+        metrics = jnp.stack([
+            loss, jnp.zeros(()), out.nsp_loss, reg_loss_mean, reg_5_dist_mean,
+            jnp.zeros(()), num_regs.astype(jnp.float32),
+            jnp.sum(out.correct_regs).astype(jnp.float32),
+            jnp.sum(out.correct_t_regs).astype(jnp.float32),
+        ])
+        return params, opt_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """End-to-end trainer: mesh, optimizer, compiled step, checkpoints."""
+
+    def __init__(self, params_dict: Dict[str, Any], model: Optional[CRCTModel],
+                 sample_batch: Dict[str, Any], iters_per_epoch: float,
+                 mesh=None):
+        self.params_dict = params_dict
+        self.model = model or build_model(params_dict)
+        self.mesh = mesh or make_mesh(
+            int(params_dict["mesh_shape"]) if params_dict.get("mesh_shape")
+            else None)
+        self.iters_per_epoch = iters_per_epoch
+
+        rng = jax.random.key(params_dict.get("seed", 0))
+        init_batch = jax.tree.map(
+            lambda x: jnp.asarray(x), device_batch(sample_batch))
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, init_batch, train=True)
+        self.params = variables["params"]
+
+        tx = make_optimizer(params_dict, self.params, iters_per_epoch)
+        if params_dict.get("batch_multiply", 1) > 1:
+            tx = optax.MultiSteps(tx, params_dict["batch_multiply"])
+        self.tx = tx
+        self.opt_state = tx.init(self.params)
+        self.step = 0
+        self.start_epoch = 0
+
+        self._maybe_load_checkpoint()
+
+        # replicate state over the mesh; jit the step
+        self.params = replicate(self.params, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
+        self.train_step = jax.jit(
+            make_train_step(self.model, self.tx), donate_argnums=(0, 1))
+        self._rng = jax.random.key(params_dict.get("seed", 0) + 17)
+
+    # ------------------------------------------------------------------
+    def _maybe_load_checkpoint(self) -> None:
+        pd = self.params_dict
+        ckpt = pd.get("start_checkpoint")
+        if not ckpt:
+            return
+        loaded = load_checkpoint(ckpt)
+        if not pd.get("continue"):
+            src = loaded.get("model_state_dict", loaded)
+            self.params, _ = transfer_params(self.params, src)
+        else:
+            self.params, _ = transfer_params(
+                self.params, loaded["model_state_dict"])
+            if "optimizer_state_dict" in loaded:
+                self.opt_state = jax.tree.map(
+                    lambda a, b: np.asarray(b, dtype=np.asarray(a).dtype)
+                    if hasattr(a, "dtype") else b,
+                    self.opt_state, loaded["optimizer_state_dict"])
+            self.step = int(loaded.get("iter_id", 0))
+            self.start_epoch = epoch_from_name(ckpt) + 1
+
+    # ------------------------------------------------------------------
+    def run_step(self, batch: Dict[str, Any]):
+        self._rng, sub = jax.random.split(self._rng)
+        db = shard_batch(device_batch(batch), self.mesh)
+        self.params, self.opt_state, metrics = self.train_step(
+            self.params, self.opt_state, db, sub)
+        self.step += 1
+        return metrics
+
+    def save(self, epoch: int) -> str:
+        pd = self.params_dict
+        os.makedirs(pd["save_path"], exist_ok=True)
+        path = os.path.join(pd["save_path"], checkpoint_name(epoch, self.step))
+        save_checkpoint(path, jax.device_get(self.params),
+                        jax.device_get(self.opt_state), self.step)
+        return path
+
+
+def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
+    """Full multi-epoch training loop with logging, checkpoints and in-train
+    eval (reference run_training_DDP, train.py:21-353)."""
+    from crct_tpu.data.dataset import DataLoader
+
+    init_log_file(params_dict)
+    n_dev = len(jax.devices()) if params_dict.get("ddp") else 1
+    log_line(params_dict,
+             "De facto batch_size: {}*{}*{} = {}".format(
+                 params_dict["batch_size"], n_dev,
+                 params_dict["batch_multiply"],
+                 params_dict["batch_size"] * n_dev * params_dict["batch_multiply"]))
+
+    dataset.split = "train"
+    global_batch = params_dict["batch_size"] * (n_dev if params_dict.get("ddp") else 1)
+    loader = DataLoader(dataset, global_batch, shuffle=True,
+                        seed=params_dict.get("seed", 0),
+                        num_workers=params_dict.get("num_workers", 8) or 1,
+                        drop_last=True)
+    iters_per_epoch = max(1, len(loader) / params_dict["batch_multiply"])
+
+    sample_batch = next(iter(DataLoader(dataset, global_batch, shuffle=False,
+                                        num_workers=1)))
+    trainer = Trainer(params_dict, None, sample_batch, iters_per_epoch)
+    log_line(params_dict, f"len(dataloader)={len(loader)}")
+
+    tb_writer = _maybe_tensorboard(params_dict)
+    PRINT_EVERY = 100
+    loss_hist: list = []
+    start_t = timer()
+
+    for epoch_id in range(trainer.start_epoch, params_dict["num_epochs"]):
+        loader.set_epoch(epoch_id)
+        epoch_time = time.time()
+        for iter_id, batch in enumerate(loader):
+            metrics = np.asarray(trainer.run_step(batch))
+            (total_loss, lm_loss, nsp_loss, reg_loss, reg_5_dist, leg_loss,
+             num_regs, reg_5_right, reg_t_right) = metrics
+            loss_hist.append(total_loss)
+            if tb_writer is not None and iter_id % params_dict["batch_multiply"] == 0:
+                tb_writer.add_scalar("Loss/Total Loss", total_loss, trainer.step)
+                tb_writer.add_scalar("Loss/nsp", nsp_loss, trainer.step)
+                tb_writer.add_scalar("Reg Loss/reg_MSE", reg_loss, trainer.step)
+                tb_writer.add_scalar("Reg Loss/reg_5_dist", reg_5_dist, trainer.step)
+                if num_regs > 0:
+                    tb_writer.add_scalar("Accuracy/reg_acc",
+                                         reg_5_right / num_regs, trainer.step)
+                    tb_writer.add_scalar("Accuracy/reg_t_acc",
+                                         reg_t_right / num_regs, trainer.step)
+            if iter_id % PRINT_EVERY == 0:
+                end_t = timer()
+                cur_epoch = epoch_id + iter_id / max(1, len(loader))
+                est = (len(loader) - iter_id) * (end_t - start_t) / PRINT_EVERY
+                log_line(params_dict,
+                         "[Ep: %.2f][%s][lr: %.2e][Iter: %d][Time: %5.2fs]"
+                         "[Est: %s][Loss: %.3g][NSP: %.3g][Reg: %.3g]"
+                         "[Regs: %d/%d][Reg_acc: %.2g | %.2g]" % (
+                             cur_epoch, strftime("%a %X", gmtime()),
+                             current_lr(params_dict, iters_per_epoch, trainer.step),
+                             trainer.step, end_t - start_t,
+                             strftime("%H:%M", gmtime(est)), total_loss,
+                             nsp_loss, reg_loss, num_regs,
+                             len(batch["R"]), reg_5_right / max(1, num_regs),
+                             reg_t_right / max(1, num_regs)))
+                start_t = end_t
+
+        log_line(params_dict, "Epoch Time: "
+                 + strftime("%H:%M", gmtime(time.time() - epoch_time)))
+        path = trainer.save(epoch_id)
+        log_line(params_dict, f"     --> Saved model as: {path}")
+
+        if not params_dict.get("no_eval") and eval_fn is not None:
+            log_line(params_dict, "Starting evaluation (on sampled val set)...")
+            t0 = time.time()
+            eval_fn(trainer, dataset, epoch_id)
+            log_line(params_dict,
+                     f"     -> Eval time: {round(time.time() - t0, 2)}")
+            dataset.split = "train"
+    return trainer
+
+
+def _maybe_tensorboard(params_dict: Dict[str, Any]):
+    if params_dict.get("rank", 0) != 0 or not params_dict.get("tensorboard"):
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(log_dir=os.path.join(
+            params_dict["tensorboard"], params_dict.get("save_name", "")))
+    except Exception:
+        return None

@@ -1,0 +1,70 @@
+"""Checkpoint IO with the reference's save/load semantics.
+
+Orbax-backed saves named ``plotqa_encoder_<epoch>_<iter>.ckpt`` (reference
+CRCT/train.py:284-291) containing params, opt_state and iteration counter.
+Two load modes match the reference (train.py:91-130):
+
+  * *transfer* — copy only the intersecting (path, shape) leaves into a
+    freshly-initialized tree (weight transplant across head variants),
+  * *continue* — strict restore of params + optimizer state + step, with the
+    epoch parsed from the checkpoint filename.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def checkpoint_name(epoch: int, iter_id: int) -> str:
+    return f"plotqa_encoder_{epoch}_{iter_id}.ckpt"
+
+
+def epoch_from_name(path: str) -> int:
+    """Parse the epoch number out of plotqa_encoder_<epoch>_<iter>.ckpt."""
+    return int(os.path.basename(path).split("_")[2])
+
+
+def save_checkpoint(path: str, params: Any, opt_state: Any = None,
+                    iter_id: int = 0, extra: Optional[Dict] = None) -> None:
+    tree = {"model_state_dict": params, "iter_id": np.asarray(iter_id)}
+    if opt_state is not None:
+        tree["optimizer_state_dict"] = opt_state
+    if extra:
+        tree.update(extra)
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path), tree, force=True)
+
+
+def load_checkpoint(path: str, target: Any = None) -> Dict[str, Any]:
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(os.path.abspath(path), item=target)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def transfer_params(init_params: Any, loaded_params: Any,
+                    verbose: bool = True) -> Tuple[Any, int]:
+    """Copy leaves whose path and shape match (reference 'transfer' load,
+    train.py:93-104). Returns (merged tree, number of transferred leaves)."""
+    flat_init = {jax.tree_util.keystr(p): v
+                 for p, v in jax.tree_util.tree_flatten_with_path(init_params)[0]}
+    flat_loaded = {jax.tree_util.keystr(p): v
+                   for p, v in jax.tree_util.tree_flatten_with_path(loaded_params)[0]}
+    merged = dict(flat_init)
+    n = 0
+    for k, v in flat_loaded.items():
+        if k in flat_init and np.shape(flat_init[k]) == np.shape(v):
+            merged[k] = v
+            n += 1
+    assert n > 0, "no keys transferred from checkpoint"
+    # rebuild the tree in init_params' structure
+    leaves_paths = jax.tree_util.tree_flatten_with_path(init_params)
+    treedef = leaves_paths[1]
+    new_leaves = [merged[jax.tree_util.keystr(p)] for p, _ in leaves_paths[0]]
+    if verbose:
+        print(f"number of keys transferred: {n}")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), n

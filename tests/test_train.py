@@ -1,0 +1,141 @@
+"""Training-stack tests: optimizer partition, schedule, data-parallel step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crct_tpu.data.dataset import ChartQADataset, DataLoader
+from crct_tpu.models.crct import CRCTModel
+from crct_tpu.parallel.mesh import make_mesh, shard_batch
+from crct_tpu.train.optimizer import (make_optimizer,
+                                      warmup_linear_min_schedule,
+                                      _is_language_param, _needs_decay)
+from crct_tpu.train.train_loop import Trainer, device_batch, make_train_step
+from tests.helpers import synthetic_params, tiny_model_config
+from tests.test_model import make_batch
+
+
+def test_schedule_warmup_decay_floor():
+    sched = warmup_linear_min_schedule(base_lr=2e-5, warmup_steps=100,
+                                       t_total=1000, min_lr=1.3e-5)
+    assert float(sched(0)) == pytest.approx(1.3e-5)   # floored at start
+    assert float(sched(100)) == pytest.approx(2e-5)
+    assert float(sched(50)) == pytest.approx(max(1e-5, 1.3e-5))
+    # decay floors at min_lr near the end
+    assert float(sched(999)) == pytest.approx(1.3e-5)
+    mid = float(sched(200))  # factor 800/900 -> 1.78e-5, above the floor
+    assert 1.3e-5 < mid < 2e-5
+
+
+def test_optimizer_partition_labels():
+    cfg = tiny_model_config()
+    model = CRCTModel(config=cfg, categories=10)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    variables = model.init({"params": jax.random.key(0)}, batch, train=False)
+    flat = {jax.tree_util.keystr(p): ("lang" if _is_language_param(p)
+                                      else "image", _needs_decay(p))
+            for p, _ in jax.tree_util.tree_flatten_with_path(
+                variables["params"])[0]}
+
+    def find(substr):
+        return [v for k, v in flat.items() if substr in k]
+
+    # text layers -> lang; vision/co-attention/regressor/heads -> image
+    assert all(v[0] == "lang" for v in find("t_layer_0"))
+    assert all(v[0] == "image" for v in find("v_layer_0"))
+    assert all(v[0] == "image" for v in find("c_layer_0"))
+    assert all(v[0] == "image" for v in find("regressor"))
+    assert all(v[0] == "image" for v in find("bi_seq_relationship"))
+    assert all(v[0] == "lang" for v in find("word_embeddings"))
+    assert all(v[0] == "image" for v in find("txt_location_embeddings"))
+    # decay exclusions: biases and LayerNorm/scale excluded
+    assert all(not v[1] for k, v in flat.items() if k.endswith("['bias']"))
+    assert all(not v[1] for k, v in flat.items() if "_ln" in k)
+    assert all(v[1] for k, v in flat.items() if k.endswith("['kernel']")
+               and "_ln" not in k)
+
+
+def test_train_step_decreases_loss():
+    cfg = tiny_model_config()
+    model = CRCTModel(config=cfg, categories=10)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, B=8)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(0)}, batch, train=True)
+    params_dict = dict(lr=1e-3, image_lr=1e-3, min_lr=1e-5, warmup=1,
+                       wd=0.01, batch_multiply=1)
+    import optax
+    tx = make_optimizer(params_dict, variables["params"], iters_per_epoch=100)
+    step = jax.jit(make_train_step(model, tx))
+    params, opt_state = variables["params"], tx.init(variables["params"])
+    losses = []
+    for i in range(8):
+        params, opt_state, metrics = step(params, opt_state, batch,
+                                          jax.random.key(i))
+        losses.append(float(metrics[0]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_data_parallel_matches_single_device():
+    """The 8-device sharded step must produce the same params as 1 device."""
+    assert len(jax.devices()) == 8
+    cfg = tiny_model_config()
+    model = CRCTModel(config=cfg, categories=10)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, B=8)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(0)}, batch, train=True)
+    params_dict = dict(lr=1e-3, image_lr=1e-3, min_lr=1e-5, warmup=1, wd=0.01)
+    tx = make_optimizer(params_dict, variables["params"], iters_per_epoch=100)
+    step = jax.jit(make_train_step(model, tx))
+
+    # single-device run
+    p1, o1 = variables["params"], tx.init(variables["params"])
+    p1, o1, m1 = step(p1, o1, batch, jax.random.key(7))
+
+    # 8-device data-parallel run
+    mesh = make_mesh(8)
+    from crct_tpu.parallel.mesh import replicate
+    p2 = replicate(variables["params"], mesh)
+    o2 = replicate(tx.init(variables["params"]), mesh)
+    db = shard_batch(batch, mesh)
+    p2, o2, m2 = step(p2, o2, db, jax.random.key(7))
+
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=2e-4,
+                               atol=1e-5)
+    l1 = jax.tree.leaves(p1)
+    l2 = jax.tree.leaves(p2)
+    # reduction order differs between the sharded and single-device sums;
+    # tolerate float32 accumulation noise
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=2e-5)
+
+
+def test_trainer_end_to_end_on_synthetic_data(tmp_path):
+    params = synthetic_params(tmp_path, n_images=8, division=4,
+                              n_questions=4, feat_dim=32,
+                              batch_size=8, num_workers=2)
+    cfg = tiny_model_config(v_feature_size=32)
+    ds = ChartQADataset(params, ["train"])
+    ds.split = "train"
+    loader = DataLoader(ds, batch_size=8, shuffle=True, num_workers=2)
+    sample = next(iter(loader))
+    from crct_tpu.models.crct import CRCTModel
+    model = CRCTModel(config=cfg, categories=params["categories"])
+    trainer = Trainer(params, model, sample, iters_per_epoch=len(loader))
+    m = None
+    for batch in loader:
+        m = np.asarray(trainer.run_step(batch))
+    assert m is not None and np.isfinite(m[0])
+    # checkpoint round-trip
+    path = trainer.save(epoch=0)
+    from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
+    loaded = load_checkpoint(path)
+    assert "model_state_dict" in loaded
+    merged, n = transfer_params(jax.device_get(trainer.params),
+                                loaded["model_state_dict"], verbose=False)
+    assert n == len(jax.tree.leaves(merged))
