@@ -1,0 +1,88 @@
+"""Full evaluation CLI (reference CRCT/evaluation.py).
+
+Usage parity:
+    python -m crct_tpu.cli.evaluate -qa_file qa_pairs_test.npy \
+        -dataset_config config/plotqa.json -eval_set test \
+        -start_checkpoint crct.ckpt
+
+Resumable: completed question ids are re-read from the per-rank CSVs and
+excluded from the index set; accumulator tensors reload from snapshots
+(reference evaluation.py:69-126,146-153).
+"""
+
+from __future__ import annotations
+
+import pprint
+
+import jax
+import numpy as np
+
+from crct_tpu.config import read_command_line
+from crct_tpu.data.dataset import ChartQADataset, DataLoader
+from crct_tpu.models.crct import build_model
+from crct_tpu.train.eval_loop import (evaluate, get_prev_done_ids,
+                                      make_histogram_png, print_acc_table,
+                                      print_breakdown_table)
+from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
+
+
+def load_eval_model(params, sample_batch):
+    """Build the model + restore checkpoint weights (transfer mode)."""
+    import jax.numpy as jnp
+    from crct_tpu.train.train_loop import device_batch
+    import functools
+    model = build_model(params)
+    init_batch = jax.tree.map(jnp.asarray, device_batch(sample_batch))
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, init_batch)
+    model_params = variables["params"]
+    if params.get("start_checkpoint"):
+        loaded = load_checkpoint(params["start_checkpoint"])
+        src = loaded.get("model_state_dict", loaded)
+        model_params, _ = transfer_params(model_params, src)
+    n = sum(np.size(x) for x in jax.tree.leaves(model_params))
+    print(f"Model's parameters: {n}")
+    return model, model_params
+
+
+def main(argv=None):
+    params = read_command_line(argv)
+    pprint.pprint({k: v for k, v in params.items() if k != "dvqa_floats"})
+
+    dataset = ChartQADataset(params, params["eval_set"],
+                             init_split=params["eval_set"])
+    dataset.get_all_answers = True
+
+    done_ids = get_prev_done_ids(params)
+    cont_eval = done_ids is not None
+    indices = None
+    if cont_eval:
+        print("-" * 20, f"Done Ids: {len(done_ids)}", "-" * 20, flush=True)
+        indices = np.array(sorted(set(range(len(dataset))) - set(done_ids.tolist())))
+
+    loader = DataLoader(dataset, batch_size=max(1, params["eval_batch_size"]),
+                        shuffle=False, drop_last=False,
+                        num_workers=params.get("num_workers", 8) or 1,
+                        indices=indices)
+    sample = next(iter(DataLoader(dataset, batch_size=1, shuffle=False,
+                                  num_workers=1, drop_last=False)))
+    # the eval step consumes flattened candidate rows
+    from crct_tpu.train.eval_loop import _flatten_valid_rows, _chunk_rows
+    rows, _ = _flatten_valid_rows(sample)
+    chunked, _ = next(_chunk_rows(rows, max(1, params["eval_batch_size"])))
+    model, model_params = load_eval_model(params, chunked)
+
+    total, breakdown, histogram = evaluate(
+        loader, dataset, params, model, model_params,
+        progress=params["eval_type"], csv=True, cont_eval=cont_eval)
+
+    print_acc_table(print, total)
+    if "plotqa" in params["dataset"]:
+        print_breakdown_table(params, print, breakdown)
+        make_histogram_png(params, histogram)
+    print("Done evaluation", flush=True)
+    return total, breakdown
+
+
+if __name__ == "__main__":
+    main()

@@ -220,6 +220,8 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
 
     if parsed['start_checkpoint'] and not os.path.exists(parsed['start_checkpoint']):
         parsed['start_checkpoint'] = parsed['checkpoints_dir'] + parsed['start_checkpoint']
+        assert os.path.exists(parsed['start_checkpoint']), (
+            f"start_checkpoint file not found: {parsed['start_checkpoint']}")
 
     parsed['dvqa_floats'] = list(DVQA_FLOATS)
     return parsed

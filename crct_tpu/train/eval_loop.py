@@ -1,0 +1,408 @@
+"""Full-candidate ranking evaluation (reference CRCT/evaluation.py).
+
+Each question fans out to all its candidate answers (padded to
+EVAL_PADDED_SIZE with a validity mask, fig_dataloader.py:584-693). Valid
+candidate rows are packed host-side into fixed-size chunks so one compiled
+eval step serves the whole run — the TPU replacement for the reference's
+``cut_batch_padding`` + variable-size sub-batches (evaluation.py:232-262).
+Per-question argmax over candidate NSP probabilities picks the answer; a
+question is correct when the classification is right AND (it needs no
+regression OR the regression is within 5% / the tick tolerance)
+(evaluation.py:287-312).
+
+Accumulators mirror the reference reducers: the 6x2 total-accuracy tensor
+(reduce_total_acc, evaluation.py:494-525), the 5x4x3x3 fig-type x answer-type
+x question-category breakdown (reduce_breakdown_table, evaluation.py:465-491)
+and the 13-bin regression-error histogram (reduce_histogram,
+evaluation.py:528-548). Evaluation is resumable through per-rank CSVs of
+completed question ids + accumulator snapshots (evaluation.py:69-126).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crct_tpu.data.example_builder import EVAL_PADDED_SIZE
+from crct_tpu.models.crct import CRCTModel
+
+# question-category membership by qid prefix lists (evaluation.py:434-445)
+STRUCTURAL_QID = ['S7', 'S17', 'S6', 'S1', 'S4', 'S3', 'S5', 'S2', 'S0', 'S8',
+                  'S9', 'S15', 'S10', 'S13', 'S14', 'S16', 'S11', 'S12']
+DATA_RETRIEVAL_QID = ['D15', 'D9', 'D12', 'D8', 'D7', 'D10', 'D11', 'D14',
+                      'D5', 'D2', 'D13', 'D3', 'D0', 'D4', 'D1']
+FIG_TABLE_IDS = {'Total': 0, 'line': 1, 'vbar': 2, 'hbar': 3, 'dot': 4}
+
+
+def get_qcat_by_qid(qid: str) -> Tuple[str, int]:
+    if qid in STRUCTURAL_QID:
+        return 's', 0
+    if qid in DATA_RETRIEVAL_QID:
+        return 'd', 1
+    return 'r', 2
+
+
+# ---------------------------------------------------------------------------
+# jitted per-row scoring
+# ---------------------------------------------------------------------------
+
+def make_eval_step(model: CRCTModel):
+    """Compiled scorer over a fixed-size chunk of candidate rows.
+
+    Returns (nsp_prob_pos, reg_output, reg_5_dist, reg_l1) per row,
+    the quantities the reference collects per sub-batch
+    (evaluation.py:243-262: nsp_probs[:,0], regression[0], [4], [2])."""
+
+    def eval_step(params, rows):
+        out = model.apply({"params": params}, rows, train=False)
+        nsp_probs = jax.nn.softmax(out.nsp_logits, axis=-1)[:, 0]
+        return nsp_probs, out.reg_output, out.reg_5_dist, out.reg_l1
+
+    return jax.jit(eval_step)
+
+
+ROW_KEYS = ["tokens", "segments", "loc", "sep_indices", "hist_len",
+            "image_feat", "image_loc", "image_mask", "image_target", "R",
+            "area"]
+
+
+def _flatten_valid_rows(batch: Dict[str, Any]) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """[B, 120, ...] -> [N_valid, ...] keeping per-question row offsets."""
+    num_ans = np.asarray(batch["num_ans"]).reshape(-1)
+    B = num_ans.shape[0]
+    take = [np.arange(n) + q * EVAL_PADDED_SIZE for q, n in enumerate(num_ans)]
+    flat_idx = np.concatenate(take)
+    rows = {}
+    for k in ROW_KEYS:
+        if k not in batch:
+            continue
+        v = np.asarray(batch[k])
+        rows[k] = v.reshape((B * EVAL_PADDED_SIZE,) + v.shape[2:])[flat_idx]
+    # hist_len arrives [B,120,1] after padding; the model wants [N] or [N,1]
+    if rows["hist_len"].ndim > 1:
+        rows["hist_len"] = rows["hist_len"].reshape(len(flat_idx), -1)[:, :1]
+    offsets = np.concatenate([[0], np.cumsum(num_ans)])
+    return rows, offsets
+
+
+def _chunk_rows(rows: Dict[str, np.ndarray], chunk: int):
+    n = len(next(iter(rows.values())))
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        pad = chunk - (e - s)
+        out = {}
+        for k, v in rows.items():
+            piece = v[s:e]
+            if pad:
+                piece = np.concatenate(
+                    [piece, np.zeros((pad,) + piece.shape[1:], piece.dtype)])
+            out[k] = piece
+        yield out, e - s
+
+
+# ---------------------------------------------------------------------------
+# accumulator reducers (host-side numpy; psum-able device arrays upstream)
+# ---------------------------------------------------------------------------
+
+def reduce_total_acc(total: np.ndarray, needs_reg, nsp_right, reg_right,
+                     reg_t_right) -> np.ndarray:
+    t = np.zeros_like(total)
+    t[0] = [np.sum(nsp_right), nsp_right.shape[0]]
+    t[1] = [np.sum(nsp_right & needs_reg), np.sum(needs_reg)]
+    t[2] = [np.sum(reg_right), np.sum(needs_reg)]
+    t[3] = [np.sum(reg_t_right), np.sum(needs_reg)]
+    correct = nsp_right & (~needs_reg | reg_right)
+    t[4] = [np.sum(correct), nsp_right.shape[0]]
+    correct_t = nsp_right & (~needs_reg | reg_t_right)
+    t[5] = [np.sum(correct_t), nsp_right.shape[0]]
+    total += t
+    return total
+
+
+def reduce_breakdown(breakdown: np.ndarray, dataset, batch, correct,
+                     t_correct, needs_reg) -> np.ndarray:
+    add = np.zeros_like(breakdown)
+    ids = np.asarray(batch["id"]).reshape(-1)
+    for i in range(len(ids)):
+        qid, qa_type = batch["qid"][i], batch["qa_type"][i]
+        ans_type = dataset.get_ans_type(int(ids[i]))
+        _, qcat = get_qcat_by_qid(qid)
+        for fig_id in {0, FIG_TABLE_IDS[qa_type]}:
+            add[fig_id, ans_type, qcat, 0] += bool(correct[i])
+            add[fig_id, ans_type, qcat, 1] += bool(t_correct[i])
+            add[fig_id, ans_type, qcat, -1] += 1
+            if needs_reg[i]:
+                add[fig_id, -1, qcat, 0] += bool(correct[i])
+                add[fig_id, -1, qcat, 1] += bool(t_correct[i])
+                add[fig_id, -1, qcat, -1] += 1
+    breakdown += add
+    return breakdown
+
+
+def reduce_histogram(histogram: np.ndarray, reg_5_dist: np.ndarray) -> np.ndarray:
+    """13 bins: 0-5..15-20 (by 5%), 20-30..90-100 (by 10%), 100+."""
+    add = np.zeros_like(histogram)
+    bar = 0
+    for i in range(4):
+        add[bar] = np.sum((i / 20 < reg_5_dist) & (reg_5_dist <= (i + 1) / 20))
+        bar += 1
+    for i in range(2, 10):
+        add[bar] = np.sum((i / 10 < reg_5_dist) & (reg_5_dist <= (i + 1) / 10))
+        bar += 1
+    add[bar] = np.sum(reg_5_dist > 1)
+    histogram += add
+    return histogram
+
+
+# ---------------------------------------------------------------------------
+# resumable CSV log (reference Evaluation_Log, utils.py:252-281)
+# ---------------------------------------------------------------------------
+
+class EvaluationLog:
+    COLUMNS = ["qa_ind", "gt_cls", "pred_cls", "gt_reg", "pred_reg",
+               "reg_target", "reg_%_error", "reg_t_error"]
+
+    def __init__(self, params: Dict[str, Any], cont_eval: bool):
+        os.makedirs(params["save_path"], exist_ok=True)
+        ckpt = os.path.basename(str(params.get("start_checkpoint", "ck")))
+        base = f"{params['save_path']}/eval_results_{params['eval_set']}_{ckpt}"
+        self.fp = f"{base}_{params.get('rank', 0)}.csv"
+        self.snapshot_paths = {k: f"{base}_{k}.npy"
+                               for k in ("breakdown", "total_correct", "histogram")}
+        if not cont_eval:
+            with open(self.fp, "w") as f:
+                f.write("," + ",".join(self.COLUMNS) + "\n")
+        self._row = 0
+
+    def append(self, data: np.ndarray) -> None:
+        with open(self.fp, "a") as f:
+            for row in data:
+                f.write(f"{self._row}," + ",".join(str(x) for x in row) + "\n")
+                self._row += 1
+
+    def save_tensors(self, breakdown, total_correct, histogram) -> None:
+        np.save(self.snapshot_paths["breakdown"], breakdown)
+        np.save(self.snapshot_paths["total_correct"], total_correct)
+        np.save(self.snapshot_paths["histogram"], histogram)
+
+    def load_tensors(self):
+        return (np.load(self.snapshot_paths["breakdown"]),
+                np.load(self.snapshot_paths["total_correct"]),
+                np.load(self.snapshot_paths["histogram"]))
+
+
+def get_prev_done_ids(params: Dict[str, Any]) -> Optional[np.ndarray]:
+    ckpt = os.path.basename(str(params.get("start_checkpoint", "ck")))
+    files = glob.glob(
+        f"{params['save_path']}/eval_results_{params['eval_set']}_{ckpt}_*.csv")
+    files = [f for f in files if f.rsplit("_", 1)[-1].split(".")[0].isdigit()]
+    if not files:
+        return None
+    ids: List[int] = []
+    for fn in files:
+        with open(fn) as f:
+            header = f.readline().strip().split(",")
+            col = header.index("qa_ind")
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) > col and parts[col]:
+                    ids.append(int(float(parts[col])))
+    return np.asarray(ids) if ids else None
+
+
+# ---------------------------------------------------------------------------
+# main evaluation loop
+# ---------------------------------------------------------------------------
+
+def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
+             model_params, *, eval_batch_size: Optional[int] = None,
+             progress: Any = False, csv: bool = True, cont_eval: bool = False,
+             log_print: Optional[Callable[[str], None]] = None,
+             allreduce: Optional[Callable[[np.ndarray], np.ndarray]] = None):
+    """Run full-candidate eval; returns (total_correct[6,2], breakdown[5,4,3,3])."""
+    log_print = log_print or (lambda msg: print(msg, flush=True))
+    chunk = eval_batch_size or params.get("eval_batch_size", 10)
+    chunk = max(chunk, 1)
+    allreduce = allreduce or (lambda x: x)
+    eval_step = make_eval_step(model)
+
+    breakdown = np.zeros((5, 4, 3, 3), np.float64)
+    total_correct = np.zeros((6, 2), np.float64)
+    histogram = np.zeros(13, np.int64)
+    logger = EvaluationLog(params, cont_eval) if csv else None
+    if csv and cont_eval:
+        try:
+            breakdown, total_correct, histogram = logger.load_tensors()
+        except FileNotFoundError:
+            pass
+
+    binary = params.get("binary_answers", False)
+    inf_time = [0.0, 0]
+
+    for batch in dataloader:
+        ids = np.asarray(batch["id"]).reshape(-1)
+        if ids.shape[0] == 0:
+            continue
+        if binary:
+            rows = {k: np.asarray(batch[k]) for k in ROW_KEYS if k in batch}
+            offsets = np.arange(len(ids) + 1)
+        else:
+            rows, offsets = _flatten_valid_rows(batch)
+        nsp_list, reg_out_list, reg5_list, regl1_list = [], [], [], []
+        for piece, valid in _chunk_rows(rows, chunk):
+            t0 = time.time()
+            nsp, reg_out, reg5, regl1 = eval_step(model_params, piece)
+            nsp_list.append(np.asarray(nsp)[:valid])
+            reg_out_list.append(np.asarray(reg_out)[:valid])
+            reg5_list.append(np.asarray(reg5)[:valid])
+            regl1_list.append(np.asarray(regl1)[:valid])
+            inf_time[0] += time.time() - t0
+        inf_time[1] += len(ids)
+        nsp_probs = np.concatenate(nsp_list)
+        reg_out = np.concatenate(reg_out_list)
+        reg5 = np.concatenate(reg5_list)
+        regl1 = np.concatenate(regl1_list)
+
+        needs_reg = np.asarray(batch["needs_reg"]).reshape(len(ids), -1)[:, 0]
+        needs_reg = needs_reg.astype(bool)
+        gt_id = np.asarray(batch["gt_id"]).reshape(-1)
+
+        if binary:
+            answers = np.round(nsp_probs).astype(np.int64)
+            labels = np.asarray(batch["next_sentence_labels"]).reshape(-1)
+            nsp_right = answers == (1 - labels)
+            ans_reg5 = np.zeros(len(ids))
+            ans_regl1 = np.zeros(len(ids))
+            ans_reg_out = np.zeros(len(ids))
+            answers_idx = answers
+        else:
+            answers_idx = np.zeros(len(ids), np.int64)
+            ans_reg5 = np.zeros(len(ids))
+            ans_regl1 = np.zeros(len(ids))
+            ans_reg_out = np.zeros(len(ids))
+            for q in range(len(ids)):
+                s, e = offsets[q], offsets[q + 1]
+                if params.get("qa_file") and "_REGS" in params["qa_file"]:
+                    a = int(gt_id[q])
+                else:
+                    a = int(np.argmax(nsp_probs[s:e]))
+                answers_idx[q] = a
+                ans_reg5[q] = reg5[s + a]
+                ans_regl1[q] = regl1[s + a]
+                ans_reg_out[q] = reg_out[s + a]
+            nsp_right = answers_idx == gt_id
+
+        tol = np.asarray(batch["tolerance_margin"]).reshape(len(ids), -1)[:, 0]
+        reg_right = (ans_reg5 <= 0.05) & needs_reg
+        reg_t_right = (ans_regl1 <= tol) & needs_reg
+        correct = nsp_right & (~needs_reg | reg_right)
+        t_correct = nsp_right & (~needs_reg | reg_t_right)
+
+        if logger is not None:
+            gt = np.asarray(batch["gt"]).reshape(len(ids), -1)[:, 0]
+            reg_target = np.asarray(batch["reg_target"]).reshape(len(ids), -1)[:, 0]
+            data = np.stack([ids, gt_id, answers_idx, gt, ans_reg_out,
+                             reg_target, ans_reg5, ans_regl1], axis=1).astype(object)
+            data[~needs_reg, 3:] = np.nan
+            logger.append(data)
+
+        total_correct = reduce_total_acc(
+            total_correct, needs_reg, nsp_right, reg_right, reg_t_right)
+        if 'plotqa' in params.get('dataset', ''):
+            breakdown = reduce_breakdown(breakdown, dataset, batch, correct,
+                                         t_correct, needs_reg)
+            histogram = reduce_histogram(histogram, ans_reg5[needs_reg])
+            if logger is not None:
+                logger.save_tensors(breakdown, total_correct, histogram)
+        if progress:
+            print_acc_table(log_print, total_correct)
+            if 'plotqa' in params.get('dataset', ''):
+                print_breakdown_table(params, log_print, breakdown)
+
+    if inf_time[1]:
+        log_print(f"Avg inference time: {inf_time[0] / inf_time[1]:.4f}s "
+                  f"for {inf_time[1]} questions.")
+    return total_correct, breakdown, histogram
+
+
+# ---------------------------------------------------------------------------
+# table printers (reference evaluation.py:551-603)
+# ---------------------------------------------------------------------------
+
+def _safe_div(a, b):
+    return a / b if b else float("nan")
+
+
+def print_acc_table(log_print, acc) -> None:
+    from pandas import DataFrame
+    frac = [[_safe_div(acc[3, 0], acc[3, 1]), _safe_div(acc[5, 0], acc[5, 1])],
+            [_safe_div(acc[2, 0], acc[2, 1]), _safe_div(acc[4, 0], acc[4, 1])]]
+    frac = [["%.5g" % v for v in row] for row in frac]
+    log_print(str(DataFrame(frac, ["Reg +-t", "Reg +-5%"],
+                            ["Accuracy", "Total Accuracy"])))
+    log_print("-" * 10)
+    nsp = [["%.5g" % _safe_div(acc[0, 0], acc[0, 1]),
+            "%.5g" % _safe_div(acc[1, 0], acc[1, 1])]]
+    log_print(str(DataFrame(nsp, [""], ["nsp", "reg_cls"])))
+    log_print("-" * 20)
+
+
+def print_breakdown_table(params, log_print, acc) -> None:
+    from pandas import DataFrame
+    table_ids = FIG_TABLE_IDS if params.get("dataset") != "dvqa" else {"Total": 0}
+    for name, tid in table_ids.items():
+        rows = []
+        for ans_cat in range(acc.shape[1]):
+            row = []
+            for q_cat in range(acc.shape[2]):
+                num, num_t, den = acc[tid, ans_cat, q_cat]
+                if den == 0:
+                    row.append("N/A")
+                else:
+                    s = "%.5g" % (num / den)
+                    if num_t != num:
+                        s += " | %.5g" % (num_t / den)
+                    row.append(s)
+            rows.append(row)
+        rows.append([_safe_div(np.sum(acc[tid, :3, q, 0]),
+                               np.sum(acc[tid, :3, q, -1]))
+                     for q in range(3)])
+        log_print("==================== {}: {} ======================="
+                  .format(name, int(np.sum(acc[tid, :3, :, -1]))))
+        log_print(str(DataFrame(rows,
+                                ["Yes/No", "Fixed Vocabulary",
+                                 "Open Vocabulary", "Regression", "Total"],
+                                ["Structural", "Data Retrieval", "Reasoning"])))
+    log_print("-" * 20)
+
+
+def make_histogram_png(params, histogram) -> Optional[str]:
+    """13-bin regression-error histogram PNG (reference make_hist,
+    evaluation.py:389-431)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    bars = ['0-5', '5-10', '10-15', '15-20', '20-30', '30-40', '40-50',
+            '50-60', '60-70', '70-80', '80-90', '90-100', '100+']
+    total = max(1, int(np.sum(histogram)))
+    fig, ax = plt.subplots()
+    ax.set_title("reg_acc: [{}/{}] {}%  all regression outputs".format(
+        int(histogram[0]), total, round(histogram[0] / total * 100, 2)))
+    ax.bar(range(len(bars)), height=list(histogram))
+    plt.xticks(range(len(bars)), bars, rotation="vertical")
+    out = os.path.join(params["save_path"],
+                       f"Eval_hist_{params['eval_set']}.png")
+    os.makedirs(params["save_path"], exist_ok=True)
+    fig.savefig(out, bbox_inches="tight")
+    plt.close(fig)
+    return out

@@ -90,15 +90,17 @@ class Trainer:
         rng = jax.random.key(params_dict.get("seed", 0))
         init_batch = jax.tree.map(
             lambda x: jnp.asarray(x), device_batch(sample_batch))
-        variables = self.model.init(
-            {"params": rng, "dropout": rng}, init_batch, train=True)
+        # jit the init: eager flax init dispatches op-by-op, which is very
+        # slow over a remote-device tunnel
+        variables = jax.jit(partial(self.model.init, train=True))(
+            {"params": rng, "dropout": rng}, init_batch)
         self.params = variables["params"]
 
         tx = make_optimizer(params_dict, self.params, iters_per_epoch)
         if params_dict.get("batch_multiply", 1) > 1:
             tx = optax.MultiSteps(tx, params_dict["batch_multiply"])
         self.tx = tx
-        self.opt_state = tx.init(self.params)
+        self.opt_state = jax.jit(tx.init)(self.params)
         self.step = 0
         self.start_epoch = 0
 
@@ -170,6 +172,11 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
                         num_workers=params_dict.get("num_workers", 8) or 1,
                         drop_last=True)
     iters_per_epoch = max(1, len(loader) / params_dict["batch_multiply"])
+    if len(loader) == 0:
+        raise ValueError(
+            f"empty dataloader: dataset has {len(dataset)} examples but the "
+            f"global batch size is {global_batch} with drop_last — lower "
+            f"-batch_size or add data")
 
     sample_batch = next(iter(DataLoader(dataset, global_batch, shuffle=False,
                                         num_workers=1)))

@@ -1,0 +1,108 @@
+"""Evaluation-engine tests: candidate ranking, accumulators, resume."""
+
+import jax
+import numpy as np
+import pytest
+
+from crct_tpu.data.dataset import ChartQADataset, DataLoader
+from crct_tpu.models.crct import CRCTModel
+from crct_tpu.train.eval_loop import (EvaluationLog, evaluate,
+                                      get_prev_done_ids, get_qcat_by_qid,
+                                      print_acc_table, print_breakdown_table,
+                                      reduce_histogram, reduce_total_acc,
+                                      _flatten_valid_rows, _chunk_rows)
+from tests.helpers import synthetic_params, tiny_model_config
+
+
+@pytest.fixture(scope="module")
+def eval_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("evaldata")
+    params = synthetic_params(tmp, n_images=4, division=4, n_questions=3,
+                              feat_dim=32, eval_batch_size=64)
+    ds = ChartQADataset(params, ["val"], init_split="val")
+    ds.get_all_answers = True
+    cfg = tiny_model_config(v_feature_size=32)
+    model = CRCTModel(config=cfg, categories=params["categories"])
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    sample = next(iter(loader))
+    rows, _ = _flatten_valid_rows(sample)
+    chunked, _ = next(_chunk_rows(rows, 64))
+    from crct_tpu.train.train_loop import device_batch
+    variables = model.init({"params": jax.random.key(0)},
+                           device_batch(chunked), train=False)
+    return params, ds, model, variables["params"], loader
+
+
+def test_qcat_mapping():
+    assert get_qcat_by_qid("S7") == ("s", 0)
+    assert get_qcat_by_qid("D14") == ("d", 1)
+    assert get_qcat_by_qid("A1") == ("r", 2)
+
+
+def test_flatten_valid_rows_shapes(eval_env):
+    params, ds, model, mp, loader = eval_env
+    batch = next(iter(loader))
+    rows, offsets = _flatten_valid_rows(batch)
+    n_total = int(np.sum(batch["num_ans"]))
+    assert offsets[-1] == n_total
+    assert rows["tokens"].shape == (n_total, params["max_seq_len"])
+    assert rows["R"].shape == (n_total, 4)
+    # candidate rows for one question share the image features
+    q0 = slice(0, int(batch["num_ans"][0, 0]))
+    assert np.allclose(rows["image_feat"][q0][0], rows["image_feat"][q0][-1])
+
+
+def test_reduce_total_acc_columns():
+    total = np.zeros((6, 2))
+    needs = np.array([True, False, True, False])
+    nsp_right = np.array([True, True, False, False])
+    reg_right = np.array([True, False, False, False])
+    reg_t = np.array([True, False, False, False])
+    reduce_total_acc(total, needs, nsp_right, reg_right, reg_t)
+    assert total[0].tolist() == [2, 4]      # nsp
+    assert total[1].tolist() == [1, 2]      # reg_cls
+    assert total[2].tolist() == [1, 2]      # reg acc
+    assert total[4].tolist() == [2, 4]      # total: q0 (reg ok) + q1 (no reg)
+
+
+def test_reduce_histogram_bins():
+    hist = np.zeros(13, np.int64)
+    reduce_histogram(hist, np.array([0.01, 0.07, 0.3, 2.0]))
+    assert hist[0] == 1 and hist[1] == 1 and hist[4] == 1 and hist[12] == 1
+    assert hist.sum() == 4
+
+
+def test_evaluate_end_to_end(eval_env, capsys):
+    params, ds, model, mp, loader = eval_env
+    total, breakdown, hist = evaluate(loader, ds, params, model, mp,
+                                      csv=True, progress=False)
+    n_questions = len(ds)
+    assert total[0, 1] == n_questions
+    assert total[4, 1] == n_questions
+    assert 0 <= total[4, 0] <= total[0, 0]
+    # breakdown 'Total' row counts every question once
+    assert np.sum(breakdown[0, :3, :, -1]) == n_questions
+    print_acc_table(print, total)
+    print_breakdown_table(params, print, breakdown)
+    out = capsys.readouterr().out
+    assert "Total Accuracy" in out and "Reasoning" in out
+
+
+def test_evaluate_resume_from_csv(eval_env):
+    params, ds, model, mp, loader = eval_env
+    done = get_prev_done_ids(params)
+    assert done is not None and len(done) == len(ds)
+    remaining = np.array(sorted(set(range(len(ds))) - set(done.tolist())))
+    assert len(remaining) == 0
+
+
+def test_chunking_pads_last_chunk(eval_env):
+    params, ds, model, mp, loader = eval_env
+    batch = next(iter(loader))
+    rows, _ = _flatten_valid_rows(batch)
+    n = rows["tokens"].shape[0]
+    chunks = list(_chunk_rows(rows, 32))
+    assert sum(v for _, v in chunks) == n
+    for piece, valid in chunks:
+        assert piece["tokens"].shape[0] == 32
