@@ -1,0 +1,135 @@
+"""Mask R-CNN / Faster R-CNN assembled, fixed shapes end to end.
+
+The detector the reference trains with Detectron2 (Mask-RCNN R50-FPN for
+plotqa, Faster-RCNN R50/R101-FPN for the other datasets,
+Detector/frcnn.py:137-155), rebuilt as one jittable Flax module: ResNet ->
+FPN -> RPN (fixed-k proposals) -> RoIAlign box head -> class-specific
+predictor (-> optional mask head). Single-image graphs are vmapped/batched
+by the trainer; all box counts are static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from crct_tpu.detector import boxes as box_ops
+from crct_tpu.detector.fpn import FPN
+from crct_tpu.detector.heads import (BoxHead, BoxPredictor, MaskHead,
+                                     box_head_inference, box_head_losses,
+                                     mask_loss)
+from crct_tpu.detector.resnet import ResNet
+from crct_tpu.detector.rpn import RPNHead, level_anchors, propose, rpn_losses
+from crct_tpu.ops.roi_align import multilevel_roi_align
+
+ROI_STRIDES = (4, 8, 16, 32)
+
+
+class MaskRCNN(nn.Module):
+    """Single-image detector; batching via jax.vmap in the trainer."""
+    num_classes: int
+    depth: int = 50
+    with_mask: bool = True
+    fc_dim: int = 1024
+    post_nms_topk_train: int = 512
+    post_nms_topk_test: int = 512
+    roi_batch: int = 256            # sampled proposals per image (train)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(self.depth, self.dtype)
+        self.fpn = FPN(256, self.dtype)
+        self.rpn_head = RPNHead(dtype=self.dtype)
+        self.box_head = BoxHead(self.fc_dim, self.dtype)
+        self.box_predictor = BoxPredictor(self.num_classes, self.dtype)
+        if self.with_mask:
+            self.mask_head = MaskHead(self.num_classes, dtype=self.dtype)
+
+    def features(self, image: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """image [H, W, 3] -> FPN maps (P2..P6)."""
+        c_feats = self.backbone(image[None])
+        p_feats = self.fpn([c[0] for c in c_feats])
+        return p_feats
+
+    def __call__(self, image: jnp.ndarray, *, train: bool = False,
+                 gt_boxes: Optional[jnp.ndarray] = None,
+                 gt_classes: Optional[jnp.ndarray] = None,
+                 gt_valid: Optional[jnp.ndarray] = None,
+                 gt_masks28: Optional[jnp.ndarray] = None,
+                 rng: Optional[jax.Array] = None):
+        H, W = image.shape[0], image.shape[1]
+        p_feats = self.features(image)
+        logits, deltas = self.rpn_head(p_feats)
+        anchors = level_anchors([f.shape[:2] for f in p_feats])
+
+        topk = self.post_nms_topk_train if train else self.post_nms_topk_test
+        proposals, prop_scores, prop_valid = propose(
+            logits, deltas, anchors, (H, W), post_nms_topk=topk)
+
+        if not train:
+            pooled = multilevel_roi_align(p_feats[:4], proposals,
+                                          strides=ROI_STRIDES, output_size=7)
+            feats = self.box_head(pooled)
+            scores, box_deltas = self.box_predictor(feats)
+            det_boxes, det_scores, det_classes, det_valid, kept_rows = \
+                box_head_inference(scores, box_deltas, proposals,
+                                   prop_valid.astype(scores.dtype), (H, W))
+            out = {"boxes": det_boxes, "scores": det_scores,
+                   "classes": det_classes, "valid": det_valid,
+                   "features": feats[kept_rows],
+                   "proposals": proposals, "proposal_valid": prop_valid}
+            if self.with_mask:
+                mask_pooled = multilevel_roi_align(
+                    p_feats[:4], det_boxes, strides=ROI_STRIDES,
+                    output_size=14)
+                out["mask_logits"] = self.mask_head(mask_pooled)
+            return out
+
+        # ---- training path ------------------------------------------------
+        assert rng is not None and gt_boxes is not None
+        r1, r2 = jax.random.split(rng)
+        losses = rpn_losses(logits, deltas, anchors, gt_boxes, gt_valid, r1)
+
+        # add GT boxes to the proposal pool (standard trick for early training)
+        pool_boxes = jnp.concatenate([proposals, gt_boxes])
+        pool_valid = jnp.concatenate(
+            [prop_valid, gt_valid]).astype(jnp.float32)
+        matched_gt, label = box_ops.match_anchors(
+            pool_boxes, gt_boxes, gt_valid, pos_thr=0.5, neg_thr=0.5)
+        label = jnp.where(pool_valid > 0, label, -1)
+        idx, weight = box_ops.sample_fixed(label, r2, num=self.roi_batch,
+                                           pos_fraction=0.25)
+        rois = pool_boxes[idx]
+        is_fg = label[idx] == 1
+        matched = matched_gt[idx]
+        pooled = multilevel_roi_align(p_feats[:4], rois,
+                                      strides=ROI_STRIDES, output_size=7)
+        feats = self.box_head(pooled)
+        scores, box_deltas = self.box_predictor(feats)
+        losses.update(box_head_losses(
+            scores, box_deltas, rois, gt_boxes[matched],
+            gt_classes[matched], weight, is_fg))
+
+        if self.with_mask and gt_masks28 is not None:
+            mask_pooled = multilevel_roi_align(
+                p_feats[:4], rois, strides=ROI_STRIDES, output_size=14)
+            mlogits = self.mask_head(mask_pooled)
+            fg_w = weight * is_fg.astype(jnp.float32)
+            losses["mask"] = mask_loss(mlogits, gt_masks28[matched],
+                                       gt_classes[matched], fg_w)
+        losses["total"] = sum(losses.values())
+        return losses
+
+    def extract_roi_features(self, image: jnp.ndarray, boxes: jnp.ndarray
+                             ) -> jnp.ndarray:
+        """1024-d box-head features for given boxes (the <IMG>-token path of
+        the feature extractor, extract_features.py:54-100)."""
+        p_feats = self.features(image)
+        pooled = multilevel_roi_align(p_feats[:4], boxes,
+                                      strides=ROI_STRIDES, output_size=7)
+        return self.box_head(pooled)

@@ -1,0 +1,125 @@
+"""RoIAlign as pure XLA gathers + bilinear interpolation.
+
+TPU-native replacement for Detectron2's CUDA RoIAlign (`box_pooler`,
+reference Detector/extract_features.py:63): for each box, a fixed
+``output_size x output_size`` grid of bins is sampled at ``sampling_ratio^2``
+bilinear points and averaged. Shapes are fully static — N boxes in, N pooled
+features out, invalid boxes masked by the caller — so the op batches onto
+the VPU/MXU with no dynamic control flow.
+
+Implements the "aligned" convention (half-pixel offset), matching
+Detectron2's ROIAlignV2 used by its default box pooler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_sample(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Sample feat [H, W, C] at fractional (y, x) points of shape [...]."""
+    H, W, C = feat.shape
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy1 = y - y0.astype(y.dtype)
+    wx1 = x - x0.astype(x.dtype)
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
+
+    def g(yy, xx):
+        return feat[yy, xx]  # advanced indexing -> gather, [...], C
+
+    out = (g(y0, x0) * (wy0 * wx0)[..., None]
+           + g(y0, x1) * (wy0 * wx1)[..., None]
+           + g(y1, x0) * (wy1 * wx0)[..., None]
+           + g(y1, x1) * (wy1 * wx1)[..., None])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
+def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
+              spatial_scale: float = 1.0, output_size: int = 7,
+              sampling_ratio: int = 2) -> jnp.ndarray:
+    """RoIAlign over one feature map.
+
+    Args:
+      features: [H, W, C] feature map.
+      boxes: [N, 4] (x1, y1, x2, y2) in image coordinates.
+      spatial_scale: feature-map stride reciprocal (e.g. 1/16).
+      output_size: pooled grid P (P x P bins).
+      sampling_ratio: bilinear samples per bin side.
+
+    Returns: [N, P, P, C] pooled features.
+    """
+    P, S = output_size, sampling_ratio
+    boxes = boxes.astype(jnp.float32) * spatial_scale
+    # aligned=True: half-pixel offset
+    x1 = boxes[:, 0] - 0.5
+    y1 = boxes[:, 1] - 0.5
+    x2 = boxes[:, 2] - 0.5
+    y2 = boxes[:, 3] - 0.5
+    roi_w = jnp.maximum(x2 - x1, 1e-6)
+    roi_h = jnp.maximum(y2 - y1, 1e-6)
+    bin_w = roi_w / P
+    bin_h = roi_h / P
+
+    # sample offsets within a bin: (s + 0.5) / S for s in [0, S)
+    offs = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S        # [S]
+    grid = jnp.arange(P, dtype=jnp.float32)                    # [P]
+    # per-box sample coordinates: [N, P, S]
+    ys = (y1[:, None, None]
+          + (grid[None, :, None] + offs[None, None, :]) * bin_h[:, None, None])
+    xs = (x1[:, None, None]
+          + (grid[None, :, None] + offs[None, None, :]) * bin_w[:, None, None])
+
+    # full grids [N, P*S, P*S]
+    ys_full = jnp.broadcast_to(ys.reshape(-1, P * S, 1),
+                               (ys.shape[0], P * S, P * S))
+    xs_full = jnp.broadcast_to(xs.reshape(-1, 1, P * S),
+                               (xs.shape[0], P * S, P * S))
+    sampled = _bilinear_sample(features, ys_full, xs_full)     # [N,PS,PS,C]
+    N, _, _, C = sampled.shape
+    pooled = sampled.reshape(N, P, S, P, S, C).mean(axis=(2, 4))
+    return pooled
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("output_size", "sampling_ratio",
+                                    "canonical_level", "canonical_size",
+                                    "min_level", "max_level"))
+def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
+                         *, strides: Tuple[int, ...] = (4, 8, 16, 32),
+                         output_size: int = 7, sampling_ratio: int = 2,
+                         canonical_level: int = 4, canonical_size: int = 224,
+                         min_level: int = 2, max_level: int = 5) -> jnp.ndarray:
+    """FPN RoIAlign: assign each box to a pyramid level by scale (FPN eq. 1),
+    pool at every level with static shapes, then select per box.
+
+    features: list of [H_l, W_l, C] maps for levels min_level..max_level.
+    """
+    boxes = boxes.astype(jnp.float32)
+    w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0)
+    h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 0.0)
+    scale = jnp.sqrt(w * h)
+    lvl = jnp.floor(canonical_level
+                    + jnp.log2(jnp.maximum(scale, 1e-6) / canonical_size))
+    lvl = jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+    pooled_all = []
+    for i, feat in enumerate(features):
+        pooled_all.append(roi_align(
+            feat, boxes, spatial_scale=1.0 / strides[i],
+            output_size=output_size, sampling_ratio=sampling_ratio))
+    stacked = jnp.stack(pooled_all)                 # [L, N, P, P, C]
+    sel = (lvl - min_level)                         # [N]
+    onehot = jax.nn.one_hot(sel, stacked.shape[0], dtype=stacked.dtype)
+    return jnp.einsum("lnpqc,nl->npqc", stacked, onehot)

@@ -1,0 +1,133 @@
+"""Mask R-CNN component tests on tiny images (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crct_tpu.detector.boxes import (decode_deltas, encode_deltas,
+                                     generate_anchors, match_anchors,
+                                     sample_fixed)
+from crct_tpu.detector.mask_rcnn import MaskRCNN
+
+
+def test_delta_coding_round_trip():
+    rng = np.random.default_rng(0)
+    anchors = np.array([[0, 0, 10, 10], [5, 5, 30, 20]], np.float32)
+    boxes = np.array([[1, 2, 12, 9], [4, 6, 28, 25]], np.float32)
+    deltas = encode_deltas(jnp.asarray(boxes), jnp.asarray(anchors))
+    back = decode_deltas(deltas, jnp.asarray(anchors))
+    np.testing.assert_allclose(np.asarray(back), boxes, rtol=1e-5, atol=1e-4)
+
+
+def test_generate_anchors_count_and_center():
+    a = generate_anchors((4, 6), stride=8, sizes=[32])
+    assert a.shape == (4 * 6 * 3, 4)
+    # first cell anchors centered at (4, 4)
+    cx = (a[:3, 0] + a[:3, 2]) / 2
+    cy = (a[:3, 1] + a[:3, 3]) / 2
+    np.testing.assert_allclose(cx, 4.0, atol=1e-4)
+    np.testing.assert_allclose(cy, 4.0, atol=1e-4)
+
+
+def test_match_anchors_labels():
+    anchors = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110],
+                           [0, 0, 9, 9]], jnp.float32)
+    gt = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    valid = jnp.asarray([True])
+    matched, label = match_anchors(anchors, gt, valid, pos_thr=0.7,
+                                   neg_thr=0.3)
+    assert int(label[0]) == 1       # exact match
+    assert int(label[1]) == 0       # far away
+    assert int(label[2]) == 1       # IoU 0.81 > 0.7
+
+
+def test_sample_fixed_shapes_and_quota():
+    label = jnp.asarray([1] * 3 + [0] * 100 + [-1] * 10)
+    idx, weight = sample_fixed(label, jax.random.key(0), num=32,
+                               pos_fraction=0.25)
+    assert idx.shape == (32,) and weight.shape == (32,)
+    assert weight.sum() == 32       # enough candidates to fill
+    pos_rows = np.asarray(label)[np.asarray(idx)] == 1
+    assert pos_rows.sum() == 3      # all positives taken (under the 8 quota)
+
+
+@pytest.fixture(scope="module")
+def tiny_detector():
+    model = MaskRCNN(num_classes=5, depth=50, with_mask=True,
+                     post_nms_topk_train=32, post_nms_topk_test=16,
+                     roi_batch=16, fc_dim=64)
+    image = jnp.asarray(np.random.default_rng(0).random((64, 64, 3)),
+                        jnp.float32)
+    gt_boxes = jnp.asarray([[4, 4, 30, 30], [32, 32, 60, 60],
+                            [0, 0, 0, 0]], jnp.float32)
+    gt_classes = jnp.asarray([1, 3, 0], jnp.int32)
+    gt_valid = jnp.asarray([True, True, False])
+    gt_masks = jnp.ones((3, 28, 28), jnp.float32)
+    variables = model.init(jax.random.key(0), image, train=True,
+                           gt_boxes=gt_boxes, gt_classes=gt_classes,
+                           gt_valid=gt_valid, gt_masks28=gt_masks,
+                           rng=jax.random.key(1))
+    return model, variables, image, (gt_boxes, gt_classes, gt_valid, gt_masks)
+
+
+def test_train_losses_finite(tiny_detector):
+    model, variables, image, (gtb, gtc, gtv, gtm) = tiny_detector
+    losses = model.apply(variables, image, train=True, gt_boxes=gtb,
+                         gt_classes=gtc, gt_valid=gtv, gt_masks28=gtm,
+                         rng=jax.random.key(2))
+    for k in ("rpn_obj", "rpn_box", "box_cls", "box_reg", "mask", "total"):
+        assert k in losses and np.isfinite(float(losses[k])), k
+        assert float(losses[k]) >= 0
+
+
+def test_inference_shapes(tiny_detector):
+    model, variables, image, _ = tiny_detector
+    out = model.apply(variables, image, train=False)
+    assert out["boxes"].shape == (100, 4)
+    assert out["features"].shape == (100, 64)
+    assert out["mask_logits"].shape == (100, 28, 28, 5)
+    # boxes inside the image
+    b = np.asarray(out["boxes"])
+    assert (b >= -1e-3).all() and (b[:, [0, 2]] <= 64.001).all()
+
+
+def test_extract_roi_features(tiny_detector):
+    model, variables, image, _ = tiny_detector
+    boxes = jnp.asarray([[0, 0, 64, 64], [8, 8, 24, 24]], jnp.float32)
+    feats = model.apply(variables, image, boxes,
+                        method=MaskRCNN.extract_roi_features)
+    assert feats.shape == (2, 64)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_train_step_reduces_loss(tiny_detector):
+    import optax
+    model, variables, image, (gtb, gtc, gtv, gtm) = tiny_detector
+    tx = optax.adam(1e-3)
+
+    def loss_fn(params, rng):
+        losses = model.apply({"params": params}, image, train=True,
+                             gt_boxes=gtb, gt_classes=gtc, gt_valid=gtv,
+                             gt_masks28=gtm, rng=rng)
+        # track rpn_obj: it depends only on fixed anchors + a fixed sample,
+        # so it must decrease steadily (total loss is noisy early on because
+        # the proposal pool itself shifts as the RPN trains)
+        return losses["total"], losses["rpn_obj"]
+
+    params = variables["params"]
+    state = tx.init(params)
+    step = jax.jit(lambda p, s, r: _update(p, s, r, loss_fn, tx))
+    rpn_objs = []
+    for i in range(5):
+        params, state, (loss, rpn_obj) = step(params, state, jax.random.key(3))
+        rpn_objs.append(float(rpn_obj))
+        assert np.isfinite(float(loss))
+    assert rpn_objs[-1] < rpn_objs[0]
+
+
+def _update(params, state, rng, loss_fn, tx):
+    import optax
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, rng)
+    updates, state = tx.update(grads, state, params)
+    return optax.apply_updates(params, updates), state, (loss, aux)
