@@ -1,0 +1,105 @@
+"""Detector training CLI (reference Detector/frcnn.py).
+
+Usage parity:
+    python -m crct_tpu.cli.detector_train --dataset plotqa \
+        --annotations train.json --image-dir pngs/ [--test]
+
+The reference's dataset registry (frcnn.py:86-128) becomes explicit
+--annotations/--image-dir flags (one dataset per run; the reference
+concatenated three PlotQA annotation shards). Model choice follows
+frcnn.py:137-155: Mask R-CNN R50 for plotqa, Faster R-CNN R50 for
+plotqa_colorless/dvqa, R101 for figure_qa.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="plotqa",
+                   choices=["plotqa", "plotqa_colorless", "figure_qa", "dvqa"])
+    p.add_argument("--annotations", required=True)
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--val-annotations", default="")
+    p.add_argument("--val-image-dir", default="")
+    p.add_argument("--output-dir", default="./output/detector")
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--max-iter", type=int, default=100000)
+    p.add_argument("--base-lr", type=float, default=2.5e-4)
+    p.add_argument("--max-boxes", type=int, default=100)
+    p.add_argument("--image-size", type=int, default=1344)
+    p.add_argument("--checkpoint-every", type=int, default=5000)
+    p.add_argument("--load-weights", default="")
+    p.add_argument("--test", action="store_true", help="evaluation only")
+    p.add_argument("--eval-images", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from crct_tpu.detector.coco import CocoDataset
+    from crct_tpu.detector.trainer import DetectorTrainer, coco_evaluate
+    from crct_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, \
+        transfer_params
+
+    with_mask = args.dataset == "plotqa"
+    depth = 101 if args.dataset == "figure_qa" else 50
+    ds = CocoDataset(args.annotations, args.image_dir,
+                     max_boxes=args.max_boxes, max_size=args.image_size,
+                     with_masks=with_mask)
+    print(f"{len(ds)} images, {len(ds.categories)} classes")
+
+    trainer = DetectorTrainer(ds, num_classes=len(ds.categories),
+                              with_mask=with_mask, depth=depth,
+                              batch_size=args.batch_size,
+                              base_lr=args.base_lr)
+    if args.load_weights:
+        import jax
+        loaded = load_checkpoint(args.load_weights)
+        trainer.params, _ = transfer_params(
+            jax.device_get(trainer.params),
+            loaded.get("model_state_dict", loaded))
+
+    if args.test:
+        metrics = coco_evaluate(trainer.model, trainer.params, ds,
+                                max_images=args.eval_images or None)
+        print(json.dumps(metrics, indent=2))
+        return metrics
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(ds))
+    pos = 0
+    t0 = time.time()
+    for it in range(args.max_iter):
+        idx = []
+        for _ in range(args.batch_size):
+            if pos >= len(order):
+                order = rng.permutation(len(ds))
+                pos = 0
+            idx.append(int(order[pos]))
+            pos += 1
+        batch = {k: np.stack([ds[i][k] for i in idx])
+                 for k in ("image", "gt_boxes", "gt_classes", "gt_valid")
+                 }
+        if with_mask:
+            batch["gt_masks28"] = np.stack([ds[i]["gt_masks28"] for i in idx])
+        losses = trainer.run_step(batch)
+        if it % 20 == 0:
+            msg = " ".join(f"{k}:{v:.4f}" for k, v in losses.items())
+            print(f"[{it}/{args.max_iter}] [{time.time() - t0:.1f}s] {msg}",
+                  flush=True)
+        if (it + 1) % args.checkpoint_every == 0 or it + 1 == args.max_iter:
+            import jax
+            path = os.path.join(args.output_dir, f"detector_{it + 1}.ckpt")
+            save_checkpoint(path, jax.device_get(trainer.params),
+                            iter_id=it + 1)
+            print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Feature extraction CLI (reference Detector/extract_features.py).
+
+Usage parity:
+    python -m crct_tpu.cli.extract_features --load-weights det.ckpt \
+        --dir-path data/PlotQA/ --split train --output out/ \
+        --batch-size 64 [--chunk a:b] [--ocr-gt | --OCR] --dataset plotqa
+
+Per image: run the jitted detector, inject the <IMG> whole-image element,
+attach text (GT oracle / Hungarian oracle / real OCR), derive axes and
+normalize geometry, then append to chunked `.npy` shards with `--chunk`
+range resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Extract chart features")
+    p.add_argument('--dir-path', type=str, default="")
+    p.add_argument('--load-weights', type=str, required=True)
+    p.add_argument('--split', type=str, default="train")
+    p.add_argument('--output', type=str, required=True)
+    p.add_argument('--batch-size', type=int, required=True,
+                   help="images per output shard (chunk size)")
+    p.add_argument('--chunk', type=str, default=None, help="resume range a:b")
+    p.add_argument('--ocr-gt', action="store_true", help="pure GT-oracle text")
+    p.add_argument('--OCR', action="store_true", help="real OCR (pytesseract)")
+    p.add_argument('--dataset', type=str, default='plotqa',
+                   choices=['figure_qa', 'plotqa', 'dvqa'])
+    p.add_argument('--num-classes', type=int, default=228)
+    p.add_argument('--image-size', type=int, default=1344)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from crct_tpu.detector.coco import PIXEL_MEAN, PIXEL_STD
+    from crct_tpu.detector.extract import (build_feature_record, chunk_gen,
+                                           get_gt_texts, get_nonvis_ids,
+                                           inject_img_token, path_to_img_id,
+                                           sorted_image_files)
+    from crct_tpu.detector.mask_rcnn import MaskRCNN
+    from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
+
+    ann_path = os.path.join(args.dir_path, args.split, "annotations.json")
+    gt_ann = None
+    if os.path.isfile(ann_path):
+        print(f"Reading ground [{args.split}] annotations...")
+        with open(ann_path) as f:
+            gt_ann = json.load(f)
+
+    model = MaskRCNN(num_classes=args.num_classes,
+                     with_mask=args.dataset == "plotqa",
+                     depth=101 if args.dataset == "figure_qa" else 50)
+
+    @jax.jit
+    def detect(params, image):
+        out = model.apply({"params": params}, image, train=False)
+        full = jnp.asarray([[0.0, 0.0, image.shape[1], image.shape[0]]])
+        img_feat = model.apply({"params": params}, image, full,
+                               method=MaskRCNN.extract_roi_features)
+        return out, img_feat[0]
+
+    # init + restore
+    dummy = jnp.zeros((args.image_size, args.image_size, 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(
+        jax.random.key(0))
+    params = variables["params"]
+    loaded = load_checkpoint(args.load_weights)
+    params, _ = transfer_params(params, loaded.get("model_state_dict", loaded))
+
+    ocr_mode = "ocr" if args.OCR else ("gt" if args.ocr_gt else "oracle")
+    png_dir = os.path.join(args.dir_path, args.split, "png")
+    files = sorted_image_files(png_dir)
+    os.makedirs(args.output, exist_ok=True)
+    n_chunks = len(range(0, len(files), args.batch_size))
+    print(f"Dataset images path: {png_dir}")
+    print(f"Start to calculate. Total chunks: {n_chunks}", flush=True)
+
+    _, cls_dict = get_nonvis_ids(args.dataset)
+    from PIL import Image
+    start = time.time()
+    for k, (c_id, chunk_files) in enumerate(
+            chunk_gen(files, args.batch_size, args.chunk)):
+        records = []
+        for img_path in chunk_files:
+            raw = np.asarray(Image.open(img_path).convert("RGB"), np.float32)
+            h, w = raw.shape[:2]
+            norm = (raw - PIXEL_MEAN) / PIXEL_STD
+            padded = np.zeros((args.image_size, args.image_size, 3),
+                              np.float32)
+            padded[:h, :w] = norm[:args.image_size, :args.image_size]
+            out, img_feat = detect(params, jnp.asarray(padded))
+            valid = np.asarray(out["valid"])
+            feats = np.asarray(out["features"])[valid]
+            boxes = np.asarray(out["boxes"])[valid]
+            classes = np.asarray(out["classes"])[valid]
+            feats, classes, boxes = inject_img_token(
+                feats, classes, boxes, np.asarray(img_feat), (h, w))
+
+            image_id = path_to_img_id(img_path)
+            gt_texts = None
+            if gt_ann is not None and ocr_mode != "ocr":
+                if args.dataset == 'dvqa':
+                    ann = gt_ann[image_id - 1]
+                    assert image_id == int(
+                        ann['image'].split("_")[-1].split(".")[0])
+                else:
+                    ann = gt_ann[image_id]
+                    assert image_id == ann['image_index']
+                gt_texts = get_gt_texts(ann, cls_dict, args.dataset)
+            records.append(build_feature_record(
+                image_id, feats, classes, boxes, (h, w),
+                dataset=args.dataset, gt_texts=gt_texts, ocr_mode=ocr_mode,
+                image=raw.astype(np.uint8) if ocr_mode == "ocr" else None))
+        np.save(os.path.join(args.output, f"{c_id}.npy"),
+                np.asarray(records, dtype=object), allow_pickle=True)
+        print(f"Chunk saved: {c_id}/{n_chunks}. "
+              f"elapsed: {time.time() - start:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

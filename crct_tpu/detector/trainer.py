@@ -1,0 +1,138 @@
+"""Detector training loop (reference Detector/frcnn.py solver).
+
+SGD + momentum at the reference schedule (BASE_LR 2.5e-4, step decay gamma
+0.1 at 10k..70k, 100k iters, weight decay 1e-4; frcnn.py:167-175) over a
+jitted per-image-vmapped loss. Data parallelism shards the image batch over
+the device mesh exactly like the QA stage.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from crct_tpu.detector.mask_rcnn import MaskRCNN
+from crct_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+SOLVER_STEPS = (10000, 20000, 30000, 40000, 50000, 60000, 70000)
+
+
+def detector_lr_schedule(base_lr: float = 2.5e-4, gamma: float = 0.1,
+                         steps=SOLVER_STEPS):
+    bounds = {int(s): gamma for s in steps}
+    return optax.piecewise_constant_schedule(base_lr, bounds)
+
+
+def make_detector_optimizer(base_lr: float = 2.5e-4,
+                            weight_decay: float = 1e-4,
+                            momentum: float = 0.9):
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(detector_lr_schedule(base_lr), momentum=momentum),
+    )
+
+
+def make_detector_train_step(model: MaskRCNN,
+                             tx: optax.GradientTransformation):
+    def loss_one(params, image, gtb, gtc, gtv, gtm, rng):
+        losses = model.apply({"params": params}, image, train=True,
+                             gt_boxes=gtb, gt_classes=gtc, gt_valid=gtv,
+                             gt_masks28=gtm, rng=rng)
+        return losses
+
+    def train_step(params, opt_state, batch, rng):
+        def batched_loss(p):
+            rngs = jax.random.split(rng, batch["image"].shape[0])
+            losses = jax.vmap(loss_one,
+                              in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                p, batch["image"], batch["gt_boxes"], batch["gt_classes"],
+                batch["gt_valid"], batch.get("gt_masks28",
+                                             jnp.zeros((batch["image"].shape[0],
+                                                        1, 28, 28))), rngs)
+            mean = {k: jnp.mean(v) for k, v in losses.items()}
+            return mean["total"], mean
+
+        (_, losses), grads = jax.value_and_grad(batched_loss,
+                                                has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    return train_step
+
+
+class DetectorTrainer:
+    def __init__(self, dataset, *, num_classes: int, with_mask: bool = True,
+                 depth: int = 50, batch_size: int = 2, base_lr: float = 2.5e-4,
+                 seed: int = 0, roi_batch: int = 256,
+                 post_nms_topk: int = 512):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        # mesh size must divide the image batch
+        n_dev = len(jax.devices())
+        usable = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+        self.mesh = make_mesh(usable)
+        self.model = MaskRCNN(num_classes=num_classes, depth=depth,
+                              with_mask=with_mask, roi_batch=roi_batch,
+                              post_nms_topk_train=post_nms_topk,
+                              post_nms_topk_test=post_nms_topk)
+        sample = dataset[0]
+        init = jax.jit(partial(self._init_fn, sample))(jax.random.key(seed))
+        self.params = init
+        self.tx = make_detector_optimizer(base_lr)
+        self.opt_state = jax.jit(self.tx.init)(self.params)
+        self.params = replicate(self.params, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
+        self.step_fn = jax.jit(make_detector_train_step(self.model, self.tx),
+                               donate_argnums=(0, 1))
+        self.step = 0
+        self._rng = jax.random.key(seed + 1)
+
+    def _init_fn(self, sample, rng):
+        variables = self.model.init(
+            rng, jnp.asarray(sample["image"]), train=True,
+            gt_boxes=jnp.asarray(sample["gt_boxes"]),
+            gt_classes=jnp.asarray(sample["gt_classes"]),
+            gt_valid=jnp.asarray(sample["gt_valid"]),
+            gt_masks28=jnp.asarray(sample.get(
+                "gt_masks28", np.zeros((len(sample["gt_boxes"]), 28, 28)))),
+            rng=rng)
+        return variables["params"]
+
+    def run_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        self._rng, sub = jax.random.split(self._rng)
+        db = shard_batch({k: v for k, v in batch.items()
+                          if isinstance(v, np.ndarray)}, self.mesh)
+        self.params, self.opt_state, losses = self.step_fn(
+            self.params, self.opt_state, db, sub)
+        self.step += 1
+        return {k: float(v) for k, v in losses.items()}
+
+
+def coco_evaluate(model: MaskRCNN, params, dataset, *,
+                  max_images: Optional[int] = None) -> Dict[str, float]:
+    """Run inference over a CocoDataset and compute bbox mAP
+    (the reference's `--test` mode, frcnn.py:200-202)."""
+    from crct_tpu.detector.coco import evaluate_detections
+
+    infer = jax.jit(lambda p, im: model.apply({"params": p}, im, train=False))
+    dets, gts = [], []
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    for i in range(n):
+        ex = dataset[i]
+        out = infer(params, jnp.asarray(ex["image"]))
+        valid = np.asarray(out["valid"])
+        dets.append({"boxes": np.asarray(out["boxes"])[valid] / ex["scale"],
+                     "scores": np.asarray(out["scores"])[valid],
+                     "classes": np.asarray(out["classes"])[valid]})
+        gv = ex["gt_valid"]
+        gts.append({"boxes": ex["gt_boxes"][gv] / ex["scale"],
+                    "classes": ex["gt_classes"][gv]})
+    return evaluate_detections(dets, gts, model.num_classes)

@@ -1,0 +1,175 @@
+"""Feature-extraction pipeline tests: oracle matching, axes, records."""
+
+import numpy as np
+import pytest
+
+from crct_tpu.data.example_builder import ExampleBuilder
+from crct_tpu.data.tokenizer import WordPieceTokenizer
+from crct_tpu.config import default_params
+from crct_tpu.detector.extract import (build_feature_record, chunk_gen,
+                                       dvqa_axes, get_axes_info,
+                                       get_nonvis_ids, inject_img_token,
+                                       normalize_bbox, validate_both_axes)
+from crct_tpu.detector.ocr import match_bboxes, ocr_oracle
+from crct_tpu.detector.pie import get_pie_areas
+
+
+def test_match_bboxes_hungarian():
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    pred = np.array([[21, 19, 31, 29], [1, 0, 10, 11], [50, 50, 60, 60]],
+                    np.float32)
+    idx_gt, idx_pred, ious = match_bboxes(gt, pred, iou_thresh=0.2)
+    pairs = set(zip(idx_gt.tolist(), idx_pred.tolist()))
+    assert pairs == {(0, 1), (1, 0)}
+    assert np.all(ious > 0.2)
+
+
+def test_ocr_oracle_attaches_text():
+    gt = {'bboxes': np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32),
+          'text': np.array(["alpha", "beta"])}
+    pred = {'bboxes': np.array([[19, 19, 31, 31], [0, 1, 10, 9]], np.float32),
+            'class': np.array([3, 5])}
+    out = ocr_oracle(pred, gt)
+    m = dict(zip(out['text'].tolist(), out['class'].tolist()))
+    assert m == {"beta": 3, "alpha": 5}
+
+
+def test_validate_axes_synthesis():
+    boxes = np.array([[5, 5, 50, 40], [10, 10, 20, 20]], np.float32)
+    # both missing -> synthesized, returns None
+    ab = {'x_axis': np.zeros((0, 4)), 'y_axis': np.zeros((0, 4))}
+    assert validate_both_axes(ab, boxes, verbose=False) is None
+    assert ab['x_axis'].shape == (4,) and ab['y_axis'].shape == (4,)
+    # x missing -> synthesized from y, returns False
+    ab = {'x_axis': np.zeros((0, 4)),
+          'y_axis': np.array([[4.0, 5.0, 6.0, 45.0]])}
+    assert validate_both_axes(ab, boxes, verbose=False) is False
+    assert ab['x_axis'][1] == ab['x_axis'][3] == 45.0  # sits at y-axis bottom
+    # both present -> True
+    ab = {'x_axis': np.array([[5.0, 40, 50, 42]]),
+          'y_axis': np.array([[4.0, 5, 6, 45]])}
+    assert validate_both_axes(ab, boxes, verbose=False) is True
+
+
+def _synthetic_detections():
+    """A fake chart: axes rules, title, tick labels, legend, 3 bars."""
+    _, cls_dict = get_nonvis_ids("plotqa")
+    H, W = 480, 640
+    entries = []  # (box, class, text or None)
+    entries.append(([60, 400, 600, 404], cls_dict['x_axis'], None))
+    entries.append(([58, 40, 62, 400], cls_dict['y_axis'], None))
+    entries.append(([250, 10, 420, 28], cls_dict['title'], "annual revenue"))
+    entries.append(([280, 440, 380, 455], cls_dict['xlabel'], "years"))
+    entries.append(([10, 180, 24, 260], cls_dict['ylabel'], "value"))
+    for i, (txt, xc) in enumerate([("north", 150), ("south", 330),
+                                   ("east", 510)]):
+        entries.append(([xc - 20, 410, xc + 20, 425],
+                        cls_dict['xticklabel'], txt))
+    for i, (txt, yc) in enumerate([("0", 400), ("50", 220), ("100", 40)]):
+        entries.append(([30, yc - 8, 54, yc + 8],
+                        cls_dict['yticklabel'], txt))
+    entries.append(([560, 50, 620, 64], cls_dict['legend_label'], "alpha"))
+    # visual bars (classes 8+ are bars in plotqa)
+    entries.append(([120, 200, 180, 400], 10, None))
+    entries.append(([300, 120, 360, 400], 11, None))
+    entries.append(([480, 300, 540, 400], 12, None))
+
+    boxes = np.asarray([e[0] for e in entries], np.float32)
+    classes = np.asarray([e[1] for e in entries], np.int64)
+    gt_texts = {
+        'bboxes': np.asarray([e[0] for e in entries if e[2] is not None],
+                             np.float32),
+        'text': np.asarray([e[2] for e in entries if e[2] is not None]),
+        'class': np.asarray([e[1] for e in entries if e[2] is not None]),
+    }
+    feats = np.random.default_rng(0).random((len(entries), 1024)).astype(
+        np.float32)
+    return feats, classes, boxes, gt_texts, (H, W)
+
+
+def test_build_feature_record_schema_and_geometry():
+    feats, classes, boxes, gt_texts, hw = _synthetic_detections()
+    img_feat = np.zeros(1024, np.float32)
+    feats, classes, boxes = inject_img_token(feats, classes, boxes, img_feat,
+                                             hw)
+    rec = build_feature_record(7, feats, classes, boxes, hw,
+                               dataset="plotqa", gt_texts=gt_texts,
+                               ocr_mode="oracle")
+    assert rec["image_id"] == 7
+    assert rec["class"][0] == 1000                  # <IMG> token first
+    assert rec["vis_feat"].shape[1] == 1024
+    tf = rec["text_feat"]
+    assert tf["title"]["text"] == "annual revenue"
+    assert list(tf["legend"]["label"]) == ["alpha"]
+    # y ticks sorted by position with 0 at the x-axis rule (pos ~0)
+    yticks = tf["y_axis"]["ticks"]
+    assert [t for t, _ in yticks] == ["0", "50", "100"]
+    pos = [p for _, p in yticks]
+    assert pos[0] == pytest.approx(0.0, abs=0.05)
+    assert pos[2] == pytest.approx(1.0, abs=0.1)
+    # visual bars normalized: bottoms at the x-axis rule (y=0)
+    vis_bottoms = rec["vis_bbox"][1:, 3]
+    assert np.allclose(vis_bottoms, 0.0, atol=0.05)
+
+
+def test_record_feeds_qa_example_builder():
+    """The produced record must round-trip into the QA-stage example builder
+    (the stage-1 -> stage-2 contract, SURVEY §1 data flow)."""
+    feats, classes, boxes, gt_texts, hw = _synthetic_detections()
+    img_feat = np.zeros(1024, np.float32)
+    feats, classes, boxes = inject_img_token(feats, classes, boxes, img_feat,
+                                             hw)
+    rec = build_feature_record(7, feats, classes, boxes, hw,
+                               dataset="plotqa", gt_texts=gt_texts,
+                               ocr_mode="oracle")
+    params = default_params(max_seq_len=124, max_vis_features=44,
+                            categories=228)
+    builder = ExampleBuilder(params, WordPieceTokenizer.synthetic())
+    qa = {"question_string": "what is the value of north ?", "answer": 42.5,
+          "qid": "D7", "type": "vbar", "image_index": 7}
+    item = builder.build(rec, qa, split="train",
+                         rng=np.random.default_rng(0))
+    assert item["tokens"].shape == (124,)
+    assert item["needs_reg"][0]           # 42.5 is out-of-vocab -> regression
+    assert item["R"][3] > 0               # y-scale derived from ticks
+
+
+def test_dvqa_axes_from_ticks():
+    _, cls_dict = get_nonvis_ids("dvqa")
+    oracle = {
+        'class': np.array([3, 3, 3, 0, 0]),
+        'text': np.array(["0", "50", "100", "cat_a", "cat_b"]),
+        'bboxes': np.array([[30, 392, 54, 408], [30, 212, 54, 228],
+                            [30, 32, 54, 48], [100, 420, 150, 440],
+                            [300, 420, 350, 440]], np.float32),
+    }
+    vis = np.array([[0, 0, 640, 480], [100, 200, 160, 400],
+                    [300, 100, 360, 400]], np.float32)
+    res = dvqa_axes(cls_dict, oracle, vis)
+    assert res is not None
+    _, axes = res
+    assert not axes['values_are_x']       # numeric ticks run vertically
+    assert axes['x_axis'].shape == (1, 4)
+
+
+def test_pie_areas_sum_to_2pi():
+    # four quadrant boxes of a circle radius 100 at (200, 200)
+    boxes = np.array([
+        [100, 100, 200, 200], [200, 100, 300, 200],
+        [100, 200, 200, 300], [200, 200, 300, 300],
+        [0, 0, 10, 10],                      # small preview -> None
+    ], np.float32)
+    areas, center, r = get_pie_areas(boxes)
+    assert areas[-1] is None
+    vals = [a for a in areas if a is not None]
+    assert len(vals) == 4
+    assert sum(vals) == pytest.approx(2 * np.pi, rel=1e-3)
+
+
+def test_chunk_gen_range_resume():
+    lst = list(range(100))
+    chunks = list(chunk_gen(lst, 10))
+    assert len(chunks) == 10 and chunks[0][0] == 0
+    resumed = list(chunk_gen(lst, 10, chunk_range="3:5"))
+    assert [c for c, _ in resumed] == [3, 4]
+    assert resumed[0][1][0] == 30
