@@ -29,7 +29,7 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 
 
-def main() -> None:
+def main(pallas: bool = False) -> None:
     import jax
     import optax
     from __graft_entry__ import _synthetic_step_batch
@@ -42,7 +42,7 @@ def main() -> None:
     n_chips = len(jax.devices())
     mesh = make_mesh()
 
-    cfg = CRCTModelConfig(dtype="bfloat16")
+    cfg = CRCTModelConfig(dtype="bfloat16", use_pallas_attention=pallas)
     model = CRCTModel(config=cfg, categories=228)
     rng = np.random.default_rng(0)
     B = BATCH_PER_CHIP * n_chips
@@ -82,4 +82,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(pallas="--pallas" in sys.argv)

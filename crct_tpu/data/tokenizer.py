@@ -233,8 +233,20 @@ class WordPieceTokenizer:
         return [self.vocab.get(t, self.unk_id) for t in tokens]
 
 
-def load_tokenizer(vocab_file: str = "") -> WordPieceTokenizer:
-    """Load the real vocab when provided, else the synthetic test vocab."""
+def load_tokenizer(vocab_file: str = "", prefer_native: bool = True):
+    """Load the real vocab when provided, else the synthetic test vocab.
+
+    With a vocab file, the native C++ tokenizer (crct_tpu.data.native) is
+    preferred — it produces identical ids and removes the dominant
+    per-sample CPU cost; pure Python is the fallback."""
     if vocab_file:
+        if prefer_native:
+            try:
+                from crct_tpu.data.native import load_native_tokenizer
+                native = load_native_tokenizer(vocab_file)
+                if native is not None:
+                    return native
+            except Exception:
+                pass
         return WordPieceTokenizer.from_vocab_file(vocab_file)
     return WordPieceTokenizer.synthetic()

@@ -24,17 +24,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)           # [Lq, D]
-    k = k_ref[0].astype(jnp.float32)           # [Lk, D]
-    v = v_ref[0].astype(jnp.float32)           # [Lk, D]
+    """One program per batch item; all heads batched on the MXU."""
+    q = q_ref[0].astype(jnp.float32)            # [H, Lq, D]
+    k = k_ref[0].astype(jnp.float32)            # [H, Lk, D]
+    v = v_ref[0].astype(jnp.float32)            # [H, Lk, D]
     scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale     # [Lq, Lk]
-    scores = scores + mask_ref[0, 0]                     # additive [1|Lq, Lk]
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale     # [H, Lq, Lk]
+    scores = scores + mask_ref[0]                # additive [1, 1|Lq, Lk]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out = jax.lax.dot_general(
+        probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -42,25 +45,24 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
 def _fused_attention_tpu(q, k, v, additive_mask):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
-    # mask broadcast to [B, 1, Lq, Lk] (incoming [B,1,1,Lk] or [B,1,Lq,Lk])
+    # mask broadcast to [B, 1, Lq|1, Lk] (incoming [B,1,1,Lk] or [B,1,Lq,Lk])
     mask = jnp.broadcast_to(additive_mask, (B, 1, additive_mask.shape[2], Lk))
     Lm = mask.shape[2]
-    grid = (B, H)
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=1.0 / math.sqrt(D)),
         out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
-        grid=grid,
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, H, Lq, D), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lk, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, H, Lk, D), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lk, D), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, H, Lk, D), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lm, Lk), lambda b, h: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, Lm, Lk), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, Lq, D), lambda b, h: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, H, Lq, D), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )(q, k, v, mask)
 
