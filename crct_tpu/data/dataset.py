@@ -136,6 +136,14 @@ class ChartQADataset:
     def __getitem__(self, qa_ind: int) -> Dict[str, Any]:
         qa_pair = self.get_qa(qa_ind)
         fig_feat = self.get_fig_feat(qa_pair['image_index'])
+        if self.params['dataset'] == 'figure_qa' and 'test' in self._split:
+            # rewrite unseen color names via nearest detections
+            # (reference fig_dataloader.py:435-439)
+            import copy as _copy
+            from crct_tpu.data.figureqa import ColorMapping
+            qa_pair = _copy.deepcopy(qa_pair)
+            fig_feat = _copy.deepcopy(fig_feat)
+            ColorMapping().feature_replace(self.params, qa_pair, fig_feat)
         negative = self._split == 'train' and qa_ind >= self.orig_len()
         seed = (self.params.get('seed', 0) * 1_000_003 + qa_ind) & 0x7FFFFFFF
         rng = np.random.default_rng(seed)
