@@ -132,6 +132,23 @@ class ChartQADataset:
     def get_ans_type(self, qa_ind: int) -> int:
         return self.builder.get_ans_type(self.get_raw(qa_ind)['answer'])
 
+    def cut_batch_padding(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Flatten the eval candidate padding into valid rows only (API
+        parity with the reference's cut_batch_padding,
+        fig_dataloader.py:697-703). The TPU eval engine instead packs rows
+        into fixed-size chunks; this is the host-side equivalent."""
+        if self.params['binary_answers']:
+            return batch
+        from crct_tpu.data.example_builder import (PADDING_TXT, PADDING_VIS)
+        num_ans = np.asarray(batch['num_ans']).reshape(-1)
+        for key in PADDING_TXT + PADDING_VIS:
+            if key not in batch:
+                continue
+            x = np.asarray(batch[key])
+            batch[key] = np.concatenate(
+                [x[i, :num_ans[i]] for i in range(x.shape[0])], axis=0)
+        return batch
+
     # ------------------------------------------------------------------
     def __getitem__(self, qa_ind: int) -> Dict[str, Any]:
         qa_pair = self.get_qa(qa_ind)

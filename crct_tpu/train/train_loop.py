@@ -188,11 +188,19 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
     loss_hist: list = []
     start_t = timer()
 
+    profile_dir = os.path.join(params_dict["save_path"], "profile")
     for epoch_id in range(trainer.start_epoch, params_dict["num_epochs"]):
         loader.set_epoch(epoch_id)
         epoch_time = time.time()
         for iter_id, batch in enumerate(loader):
+            # first-class step tracing (the reference had only ad-hoc
+            # wall-clock timers, SURVEY.md §5)
+            if params_dict.get("profile") and trainer.step == 10:
+                jax.profiler.start_trace(profile_dir)
             metrics = np.asarray(trainer.run_step(batch))
+            if params_dict.get("profile") and trainer.step == 15:
+                jax.profiler.stop_trace()
+                log_line(params_dict, f"profiler trace saved to {profile_dir}")
             (total_loss, lm_loss, nsp_loss, reg_loss, reg_5_dist, leg_loss,
              num_regs, reg_5_right, reg_t_right) = metrics
             loss_hist.append(total_loss)
