@@ -45,6 +45,8 @@ def in_train_eval(trainer, dataset, epoch_id):
 
 def main(argv=None):
     params = read_command_line(argv)
+    from crct_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(params)
     pprint.pprint({k: v for k, v in params.items() if k != "dvqa_floats"})
     splits = ["train"] if params["pretrain"] else ["train", params["eval_set"]]
     dataset = ChartQADataset(params, splits)

@@ -125,16 +125,22 @@ class TwoStreamEncoder(nn.Module):
         cfg = self.config
         kw = dict(layer_norm_eps=cfg.layer_norm_eps, dtype=self.dtype,
                   use_pallas=cfg.use_pallas_attention)
-        t_layer = lambda i: TransformerLayer(
+        # optional rematerialization: trade recompute for activation memory
+        # (jax.checkpoint over each encoder block; deterministic is static)
+        TLayer = (nn.remat(TransformerLayer, static_argnums=(3,))
+                  if cfg.remat else TransformerLayer)
+        CLayer = (nn.remat(ConnectionLayer, static_argnums=(5,))
+                  if cfg.remat else ConnectionLayer)
+        t_layer = lambda i: TLayer(
             cfg.hidden_size, cfg.num_attention_heads, cfg.intermediate_size,
             cfg.hidden_act, cfg.attention_probs_dropout_prob,
             cfg.hidden_dropout_prob, name=f"t_layer_{i}", **kw)
-        v_layer = lambda i: TransformerLayer(
+        v_layer = lambda i: TLayer(
             cfg.v_hidden_size, cfg.v_num_attention_heads,
             cfg.v_intermediate_size, cfg.v_hidden_act,
             cfg.v_attention_probs_dropout_prob, cfg.v_hidden_dropout_prob,
             name=f"v_layer_{i}", **kw)
-        c_layer = lambda i: ConnectionLayer(
+        c_layer = lambda i: CLayer(
             cfg.v_hidden_size, cfg.hidden_size, cfg.bi_hidden_size,
             cfg.bi_num_attention_heads, cfg.v_intermediate_size,
             cfg.intermediate_size, cfg.v_hidden_act, cfg.hidden_act,

@@ -8,4 +8,5 @@ sharding annotations — no explicit NCCL calls to translate.
 """
 
 from crct_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                    maybe_initialize_distributed,
                                     replicated_sharding, shard_batch)

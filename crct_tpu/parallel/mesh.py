@@ -18,6 +18,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(params: Optional[Dict[str, Any]] = None) -> bool:
+    """Multi-host bring-up: call jax.distributed.initialize when a
+    coordinator is configured (replaces the reference's file:// NCCL
+    rendezvous, options.py:114-117). Coordinator address comes from
+    ``-dist_url`` or the JAX_COORDINATOR_ADDRESS env var; on single-host
+    runs this is a no-op."""
+    import os
+    addr = None
+    if params and params.get("dist_url"):
+        addr = params["dist_url"].replace("tcp://", "")
+    addr = addr or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr or jax.process_count() > 1:
+        return False
+    num_processes = (params or {}).get("world_size") or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1"))
+    process_id = (params or {}).get("rank") or int(
+        os.environ.get("JAX_PROCESS_ID", "0"))
+    if num_processes <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=addr,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def make_mesh(num_devices: Optional[int] = None,
               devices=None) -> Mesh:
     """A 1-D data-parallel mesh over (a prefix of) the local devices."""

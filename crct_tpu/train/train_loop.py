@@ -124,12 +124,11 @@ class Trainer:
             src = loaded.get("model_state_dict", loaded)
             self.params, _ = transfer_params(self.params, src)
         else:
+            from crct_tpu.utils.checkpoint import restore_opt_state
             self.params, _ = transfer_params(
                 self.params, loaded["model_state_dict"])
             if "optimizer_state_dict" in loaded:
-                self.opt_state = jax.tree.map(
-                    lambda a, b: np.asarray(b, dtype=np.asarray(a).dtype)
-                    if hasattr(a, "dtype") else b,
+                self.opt_state = restore_opt_state(
                     self.opt_state, loaded["optimizer_state_dict"])
             self.step = int(loaded.get("iter_id", 0))
             self.start_epoch = epoch_from_name(ckpt) + 1

@@ -31,12 +31,21 @@ def epoch_from_name(path: str) -> int:
 
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     iter_id: int = 0, extra: Optional[Dict] = None) -> None:
+    from flax import serialization
     tree = {"model_state_dict": params, "iter_id": np.asarray(iter_id)}
     if opt_state is not None:
-        tree["optimizer_state_dict"] = opt_state
+        # optax states are namedtuples; serialize to a plain state dict so
+        # the on-disk layout is structure-free and restorable anywhere
+        tree["optimizer_state_dict"] = serialization.to_state_dict(opt_state)
     if extra:
         tree.update(extra)
     ocp.PyTreeCheckpointer().save(os.path.abspath(path), tree, force=True)
+
+
+def restore_opt_state(live_opt_state: Any, saved_state_dict: Any) -> Any:
+    """Map a restored plain state dict back onto the live optax structure."""
+    from flax import serialization
+    return serialization.from_state_dict(live_opt_state, saved_state_dict)
 
 
 def load_checkpoint(path: str, target: Any = None) -> Dict[str, Any]:
