@@ -63,12 +63,14 @@ def main(pallas: bool = False) -> None:
     key = jax.random.key(2)
     for i in range(WARMUP_STEPS):
         params, opt_state, metrics = step(params, opt_state, db, key)
-    jax.block_until_ready(metrics)
+    # NOTE: on the tunneled axon backend block_until_ready returns before
+    # execution finishes; a host fetch is the only reliable fence.
+    np.asarray(metrics)
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
         params, opt_state, metrics = step(params, opt_state, db, key)
-    jax.block_until_ready(metrics)
+    np.asarray(metrics)
     dt = time.perf_counter() - t0
 
     qa_pairs_per_sec_per_chip = B * MEASURE_STEPS / dt / n_chips

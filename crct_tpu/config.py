@@ -225,6 +225,17 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
         assert os.path.exists(parsed['start_checkpoint']), (
             f"start_checkpoint file not found: {parsed['start_checkpoint']}")
 
+    if parsed['ddp']:
+        # preserved reference quirk (options.py:114-117): the run seed is
+        # the random suffix of the auto-generated rendezvous url
+        if not parsed['dist_url']:
+            import numpy as _np
+            parsed['dist_url'] = (f"file://{parsed.get('main_folder', '')}"
+                                  f"DDP_TEMP_FILE_{_np.random.randint(10000)}")
+        tail = parsed['dist_url'].split("_")[-1]
+        if tail.isdigit():
+            parsed['seed'] = int(tail)
+
     parsed['dvqa_floats'] = list(DVQA_FLOATS)
     return parsed
 

@@ -72,7 +72,7 @@ class DetectorTrainer:
     def __init__(self, dataset, *, num_classes: int, with_mask: bool = True,
                  depth: int = 50, batch_size: int = 2, base_lr: float = 2.5e-4,
                  seed: int = 0, roi_batch: int = 256,
-                 post_nms_topk: int = 512):
+                 post_nms_topk: int = 512, batch_multiply: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         # mesh size must divide the image batch
@@ -87,6 +87,10 @@ class DetectorTrainer:
         init = jax.jit(partial(self._init_fn, sample))(jax.random.key(seed))
         self.params = init
         self.tx = make_detector_optimizer(base_lr)
+        if batch_multiply > 1:
+            # gradient accumulation (the reference defined BigBatchTrainer
+            # for this but never wired it, frcnn.py:28-71,197)
+            self.tx = optax.MultiSteps(self.tx, batch_multiply)
         self.opt_state = jax.jit(self.tx.init)(self.params)
         self.params = replicate(self.params, self.mesh)
         self.opt_state = replicate(self.opt_state, self.mesh)

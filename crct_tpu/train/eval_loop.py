@@ -325,6 +325,23 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             print_acc_table(log_print, total_correct)
             if 'plotqa' in params.get('dataset', ''):
                 print_breakdown_table(params, log_print, breakdown)
+            if progress == "examples" and dataset is not None:
+                # right-regression and wrong-classification samples
+                # (reference evaluation.py:360-382)
+                for i in np.nonzero(nsp_right & needs_reg & reg_right)[0]:
+                    raw = dataset.get_raw(int(ids[i]))
+                    log_print("{} [I{}] Q:{} output: {} || {} || loss: {}"
+                              .format(int(ids[i]), raw['image_index'],
+                                      raw['question_string'],
+                                      ans_reg_out[i], raw['answer'],
+                                      ans_reg5[i]))
+                for i in np.nonzero(nsp_right & ~needs_reg)[0]:
+                    raw = dataset.get_raw(int(ids[i]))
+                    opts = dataset.get_possible_answers(raw['image_index'])
+                    log_print("*{} <I{}> Q: {} . A: {} || {}".format(
+                        int(ids[i]), raw['image_index'],
+                        raw['question_string'],
+                        opts[int(answers_idx[i])], raw['answer']))
 
     if inf_time[1]:
         log_print(f"Avg inference time: {inf_time[0] / inf_time[1]:.4f}s "

@@ -196,14 +196,22 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
             # wall-clock timers, SURVEY.md §5)
             if params_dict.get("profile") and trainer.step == 10:
                 jax.profiler.start_trace(profile_dir)
-            metrics = np.asarray(trainer.run_step(batch))
+            device_metrics = trainer.run_step(batch)
             if params_dict.get("profile") and trainer.step == 15:
                 jax.profiler.stop_trace()
                 log_line(params_dict, f"profiler trace saved to {profile_dir}")
+            # fetch metrics to host only when something consumes them; the
+            # device queue stays async between log points
+            need_tb = (tb_writer is not None
+                       and iter_id % params_dict["batch_multiply"] == 0)
+            need_log = iter_id % PRINT_EVERY == 0
+            if not (need_tb or need_log):
+                continue
+            metrics = np.asarray(device_metrics)
             (total_loss, lm_loss, nsp_loss, reg_loss, reg_5_dist, leg_loss,
              num_regs, reg_5_right, reg_t_right) = metrics
             loss_hist.append(total_loss)
-            if tb_writer is not None and iter_id % params_dict["batch_multiply"] == 0:
+            if need_tb:
                 tb_writer.add_scalar("Loss/Total Loss", total_loss, trainer.step)
                 tb_writer.add_scalar("Loss/nsp", nsp_loss, trainer.step)
                 tb_writer.add_scalar("Reg Loss/reg_MSE", reg_loss, trainer.step)

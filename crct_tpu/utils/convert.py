@@ -29,6 +29,12 @@ SKIPPED_PATTERNS = [
     r"^bert\.v_embeddings\.type_embeddings\.",  # unused 13-way embedding
     r"^bert\.v_embeddings\.sep_emb\.",          # figure_qa-only, unused in fwd
     r"^inconsistency_head\.",
+    # plain HF BERT checkpoints (bert-base-uncased init path):
+    r"^bert\.embeddings\.token_type_embeddings",  # type emb replaced by the
+                                                  # 12-way chart-element emb
+    r"^bert\.embeddings\.position_ids$",          # buffer, not a weight
+    r"^bert\.pooler\.",                           # HF pooler unused
+    r"^cls\.seq_relationship\.",                  # HF NSP head (bi_ head used)
 ]
 
 
@@ -121,6 +127,8 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Tuple[Dict, List[str
             skipped.append(full_key)
             continue
         base, _, param = key.rpartition(".")
+        # old TF-era naming: gamma/beta -> weight/bias (vilbert.py:1150-1285)
+        param = {"gamma": "weight", "beta": "bias"}.get(param, param)
         pending.setdefault(base, {})[param] = np.asarray(value)
 
     for base, params in pending.items():

@@ -72,3 +72,56 @@ def test_ce_regressor_round_trip():
     flat_orig = jax.tree_util.tree_leaves(params)
     flat_conv = jax.tree_util.tree_leaves(tree)
     assert len(flat_orig) == len(flat_conv)
+
+
+def test_hf_bert_import_maps_text_stream():
+    """Plain HF bert-base-uncased-style keys (incl. gamma/beta) land on the
+    text stream; heads/pooler/type embeddings are skipped."""
+    params = _init_params()
+    L = 4   # tiny config text layers
+    h = params["bert"]["embeddings"]["word_embeddings"]["embedding"].shape
+    rng = np.random.default_rng(0)
+    sd = {}
+    sd["bert.embeddings.word_embeddings.weight"] = rng.random(h)
+    sd["bert.embeddings.position_embeddings.weight"] = rng.random(
+        params["bert"]["embeddings"]["position_embeddings"]["embedding"].shape)
+    sd["bert.embeddings.token_type_embeddings.weight"] = rng.random((2, h[1]))
+    sd["bert.embeddings.LayerNorm.gamma"] = rng.random(h[1])
+    sd["bert.embeddings.LayerNorm.beta"] = rng.random(h[1])
+    sd["bert.embeddings.position_ids"] = np.arange(128)
+    for i in range(L):
+        base = f"bert.encoder.layer.{i}"
+        for sub in ("attention.self.query", "attention.self.key",
+                    "attention.self.value", "attention.output.dense"):
+            sd[f"{base}.{sub}.weight"] = rng.random((h[1], h[1]))
+            sd[f"{base}.{sub}.bias"] = rng.random(h[1])
+        sd[f"{base}.attention.output.LayerNorm.gamma"] = rng.random(h[1])
+        sd[f"{base}.attention.output.LayerNorm.beta"] = rng.random(h[1])
+        sd[f"{base}.intermediate.dense.weight"] = rng.random((128, h[1]))
+        sd[f"{base}.intermediate.dense.bias"] = rng.random(128)
+        sd[f"{base}.output.dense.weight"] = rng.random((h[1], 128))
+        sd[f"{base}.output.dense.bias"] = rng.random(h[1])
+        sd[f"{base}.output.LayerNorm.gamma"] = rng.random(h[1])
+        sd[f"{base}.output.LayerNorm.beta"] = rng.random(h[1])
+    sd["bert.pooler.dense.weight"] = rng.random((h[1], h[1]))
+    sd["cls.predictions.bias"] = rng.random(h[0])
+    sd["cls.seq_relationship.weight"] = rng.random((2, h[1]))
+
+    tree, skipped = convert_torch_state_dict(sd)
+    assert len(skipped) == 5  # token_type, position_ids, pooler, 2x cls
+    # merged into a fresh tree: text stream transferred, rest untouched
+    from crct_tpu.utils.checkpoint import transfer_params
+    merged, n = transfer_params(params, tree, verbose=False)
+    np.testing.assert_array_equal(
+        merged["bert"]["embeddings"]["word_embeddings"]["embedding"],
+        sd["bert.embeddings.word_embeddings.weight"])
+    np.testing.assert_array_equal(
+        merged["bert"]["encoder"]["t_layer_0"]["attention"]["query"]["kernel"],
+        sd["bert.encoder.layer.0.attention.self.query.weight"].T)
+    np.testing.assert_array_equal(
+        merged["bert"]["encoder"]["t_layer_1"]["ffn"]["out_ln"]["scale"],
+        sd["bert.encoder.layer.1.output.LayerNorm.gamma"])
+    # vision stream untouched
+    np.testing.assert_array_equal(
+        merged["bert"]["v_embeddings"]["color_emb"]["embedding"],
+        params["bert"]["v_embeddings"]["color_emb"]["embedding"])
