@@ -154,12 +154,34 @@ class TwoStreamEncoder(nn.Module):
     def __call__(self, t_emb, v_emb, t_mask, v_mask, deterministic=True):
         cfg = self.config
         v_start = t_start = 0
+        B = t_emb.shape[0]
         for count, (v_end, t_end) in enumerate(
                 zip(cfg.v_biattention_id, cfg.t_biattention_id)):
             for idx in range(v_start, v_end):
                 v_emb = self.v_layers[idx](v_emb, v_mask, deterministic)
+                if idx < cfg.fixed_v_layer:
+                    # frozen prefix (reference no_grad, vilbert.py:860-866)
+                    v_emb = jax.lax.stop_gradient(v_emb)
             for idx in range(t_start, t_end):
                 t_emb = self.t_layers[idx](t_emb, t_mask, deterministic)
+                if idx < cfg.fixed_t_layer:
+                    t_emb = jax.lax.stop_gradient(t_emb)
+            if count == 0 and cfg.in_batch_pairs:
+                # batch^2 expansion: every text paired with every image
+                # (reference vilbert.py:888-895)
+                nr, nv = v_emb.shape[1], v_emb.shape[2]
+                nw, nt = t_emb.shape[1], t_emb.shape[2]
+                v_emb = jnp.tile(v_emb, (B, 1, 1))
+                v_mask = jnp.tile(v_mask, (B, 1, 1, 1))
+                t_emb = jnp.repeat(t_emb, B, axis=0)
+                t_mask = jnp.repeat(t_mask, B, axis=0)
+            if count == 0 and cfg.fast_mode:
+                # broadcast one text row over the image batch
+                # (reference vilbert.py:897-899)
+                t_emb = jnp.broadcast_to(
+                    t_emb, (v_emb.shape[0],) + t_emb.shape[1:])
+                t_mask = jnp.broadcast_to(
+                    t_mask, (v_emb.shape[0],) + t_mask.shape[1:])
             if cfg.with_coattention:
                 v_emb, t_emb = self.c_layers[count](
                     v_emb, v_mask, t_emb, t_mask, deterministic)
