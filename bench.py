@@ -60,7 +60,7 @@ def main(pallas: bool = False) -> None:
     db = shard_batch(batch, mesh)
 
     step = jax.jit(make_train_step(model, tx), donate_argnums=(0, 1))
-    key = jax.random.key(2)
+    key = jax.random.key(2, impl="rbg")   # hardware RNG for dropout (+40%)
     for i in range(WARMUP_STEPS):
         params, opt_state, metrics = step(params, opt_state, db, key)
     # NOTE: on the tunneled axon backend block_until_ready returns before

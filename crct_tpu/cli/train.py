@@ -40,7 +40,28 @@ def in_train_eval(trainer, dataset, epoch_id):
     if params["dataset"] != "figure_qa":
         print_breakdown_table(params, lambda m: log_line(params, m), breakdown)
     dataset.get_all_answers = False
+    _tb_eval_scalars(trainer, params, total, epoch_id)
     return total
+
+
+def _tb_eval_scalars(trainer, params, total, epoch_id):
+    """Per-epoch eval scalars + hparams (reference train.py:340-350)."""
+    from crct_tpu.train.train_loop import _maybe_tensorboard
+    writer = _maybe_tensorboard(params)
+    if writer is None:
+        return
+    def frac(row):
+        return float(total[row, 0] / total[row, 1]) if total[row, 1] else 0.0
+    writer.add_scalar("Accuracy/Eval Total Acc", frac(4), epoch_id)
+    writer.add_scalar("Accuracy/Eval Reg Acc", frac(2), epoch_id)
+    writer.add_scalar("Accuracy/Eval nsp Acc", frac(0), epoch_id)
+    hparams = {k: v for k, v in params.items()
+               if isinstance(v, (int, float, str, bool))}
+    try:
+        writer.add_hparams(hparams, {"hparam/Eval_acc": frac(4)})
+    except Exception:
+        pass
+    writer.flush()
 
 
 def main(argv=None):

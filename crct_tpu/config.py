@@ -192,6 +192,9 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
                         help='data-parallel mesh size, e.g. "8" (default: all devices)')
     parser.add_argument('-profile', action='store_true',
                         help='capture a jax.profiler trace of train steps 10-15')
+    parser.add_argument('-rng_impl', type=str, default='rbg',
+                        choices=['rbg', 'threefry2x32'],
+                        help='dropout PRNG (rbg is ~40%% faster on TPU)')
 
     parsed = vars(parser.parse_args(args=argv))
     parsed['continue'] = parsed.pop('continue_')
@@ -257,7 +260,7 @@ def default_params(**overrides: Any) -> Dict[str, Any]:
         eval_type='vocab_table', tensorboard='', checkpoints_dir='',
         dataset_config={}, max_vis_features=44, splits=['train', 'val', 'test'],
         dvqa_floats=list(DVQA_FLOATS), vocab_file='', bf16=False, pallas=False,
-        mesh_shape='', dist_url='', profile=False,
+        mesh_shape='', dist_url='', profile=False, rng_impl='rbg',
     )
     params['continue'] = False
     params.update(overrides)

@@ -28,8 +28,16 @@ class CocoDataset:
     def __init__(self, annotations_path: str, image_dir: str, *,
                  max_boxes: int = 100, short_edge: int = 800,
                  max_size: int = 1344, with_masks: bool = False):
-        with open(annotations_path) as f:
+        # comma-separated annotation jsons concatenate (the reference
+        # registers plotqa_train1..3 as one training set, frcnn.py:91-93)
+        paths = str(annotations_path).split(",")
+        with open(paths[0]) as f:
             coco = json.load(f)
+        for extra in paths[1:]:
+            with open(extra) as f:
+                more = json.load(f)
+            coco["images"] += more["images"]
+            coco["annotations"] += more["annotations"]
         self.image_dir = image_dir
         self.max_boxes = max_boxes
         self.short_edge = short_edge
