@@ -106,3 +106,15 @@ def test_chunking_pads_last_chunk(eval_env):
     assert sum(v for _, v in chunks) == n
     for piece, valid in chunks:
         assert piece["tokens"].shape[0] == 32
+
+
+def test_histogram_png_written(eval_env, tmp_path):
+    import numpy as np
+    from crct_tpu.train.eval_loop import make_histogram_png
+    params = dict(eval_env[0])
+    params["save_path"] = str(tmp_path)
+    hist = np.arange(13)
+    out = make_histogram_png(params, hist)
+    if out is not None:  # matplotlib present
+        import os
+        assert os.path.exists(out) and os.path.getsize(out) > 0
