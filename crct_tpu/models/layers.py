@@ -21,6 +21,14 @@ Dtype = Any
 
 MASK_VALUE = -10000.0
 
+# reference init: truncated normal std 0.02 for every Linear/Embedding
+# (init_bert_weights, vilbert.py:1099-1110); biases zero, LayerNorm (1, 0)
+BERT_INIT = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def dense(features, dtype, name):
+    return nn.Dense(features, dtype=dtype, kernel_init=BERT_INIT, name=name)
+
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     """Exact erf GELU (reference vilbert.py:111-117)."""
@@ -78,9 +86,9 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, additive_mask, deterministic: bool = True):
-        q = nn.Dense(self.hidden_size, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(self.hidden_size, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(self.hidden_size, dtype=self.dtype, name="value")(x)
+        q = dense(self.hidden_size, self.dtype, "query")(x)
+        k = dense(self.hidden_size, self.dtype, "key")(x)
+        v = dense(self.hidden_size, self.dtype, "value")(x)
         rng = (self.make_rng("dropout")
                if (not deterministic and self.attn_dropout > 0) else None)
         ctx = dot_product_attention(
@@ -89,7 +97,7 @@ class SelfAttention(nn.Module):
             dropout_rate=self.attn_dropout, deterministic=deterministic,
             dropout_rng=rng, use_pallas=self.use_pallas)
         ctx = merge_heads(ctx)
-        out = nn.Dense(self.hidden_size, dtype=self.dtype, name="out")(ctx)
+        out = dense(self.hidden_size, self.dtype, "out")(ctx)
         out = nn.Dropout(self.hidden_dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                             name="out_ln")(out + x)
@@ -107,9 +115,9 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="inter")(x)
+        h = dense(self.intermediate_size, self.dtype, "inter")(x)
         h = ACT2FN[self.hidden_act](h)
-        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="out")(h)
+        h = dense(self.hidden_size, self.dtype, "out")(h)
         h = nn.Dropout(self.hidden_dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                             name="out_ln")(h + x)
@@ -159,13 +167,13 @@ class BiAttention(nn.Module):
                  deterministic: bool = True):
         H = self.num_heads
         # vision projections
-        q1 = nn.Dense(self.bi_hidden_size, dtype=self.dtype, name="v_query")(v_input)
-        k1 = nn.Dense(self.bi_hidden_size, dtype=self.dtype, name="v_key")(v_input)
-        val1 = nn.Dense(self.bi_hidden_size, dtype=self.dtype, name="v_value")(v_input)
+        q1 = dense(self.bi_hidden_size, self.dtype, "v_query")(v_input)
+        k1 = dense(self.bi_hidden_size, self.dtype, "v_key")(v_input)
+        val1 = dense(self.bi_hidden_size, self.dtype, "v_value")(v_input)
         # text projections
-        q2 = nn.Dense(self.bi_hidden_size, dtype=self.dtype, name="t_query")(t_input)
-        k2 = nn.Dense(self.bi_hidden_size, dtype=self.dtype, name="t_key")(t_input)
-        val2 = nn.Dense(self.bi_hidden_size, dtype=self.dtype, name="t_value")(t_input)
+        q2 = dense(self.bi_hidden_size, self.dtype, "t_query")(t_input)
+        k2 = dense(self.bi_hidden_size, self.dtype, "t_key")(t_input)
+        val2 = dense(self.bi_hidden_size, self.dtype, "t_value")(t_input)
 
         rng1 = (self.make_rng("dropout")
                 if (not deterministic and self.v_attn_dropout > 0) else None)
@@ -220,11 +228,11 @@ class ConnectionLayer(nn.Module):
 
         # BertBiOutput (vilbert.py:746-758) with arguments
         # (hidden1=ctx2, input1=v_input, hidden2=ctx1, input2=t_input)
-        h1 = nn.Dense(self.v_hidden_size, dtype=self.dtype, name="v_dense")(ctx2)
+        h1 = dense(self.v_hidden_size, self.dtype, "v_dense")(ctx2)
         h1 = nn.Dropout(self.v_hidden_dropout)(h1, deterministic=deterministic)
         v_out = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                              name="v_ln")(h1 + v_input)
-        h2 = nn.Dense(self.t_hidden_size, dtype=self.dtype, name="t_dense")(ctx1)
+        h2 = dense(self.t_hidden_size, self.dtype, "t_dense")(ctx1)
         h2 = nn.Dropout(self.t_hidden_dropout)(h2, deterministic=deterministic)
         t_out = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                              name="t_ln")(h2 + t_input)

@@ -15,6 +15,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from crct_tpu.models.layers import BERT_INIT
+
 
 class _Pipe(nn.Module):
     """LeakyReLU MLP pipe: dims[0] -> ... -> dims[-1] (last layer linear)."""
@@ -24,7 +26,8 @@ class _Pipe(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dims):
-            x = nn.Dense(d, dtype=self.dtype, name=f"dense_{i}")(x)
+            x = nn.Dense(d, dtype=self.dtype, kernel_init=BERT_INIT,
+                         name=f"dense_{i}")(x)
             if i < len(self.dims) - 1:
                 x = nn.leaky_relu(x)
         return x
@@ -46,7 +49,8 @@ class HybridRegressor(nn.Module):
         pre = jnp.concatenate([hv, hw], axis=-1)
         fused = _Pipe((512, 256, 256), self.dtype, name="fusion_hidden")(pre)
         fused = nn.leaky_relu(fused)
-        out = nn.Dense(1, dtype=self.dtype, name="fusion_out")(fused)
+        out = nn.Dense(1, dtype=self.dtype, kernel_init=BERT_INIT,
+                       name="fusion_out")(fused)
         return jnp.tanh(out)[..., 0]
 
 
@@ -67,6 +71,7 @@ class CERegressor(nn.Module):
         pre = jnp.concatenate([hv, hw], axis=-1)
         fused = _Pipe((512, 256, 256), self.dtype, name="fusion_hidden")(pre)
         fused = nn.leaky_relu(fused)
-        logits = nn.Dense(self.num_bins, dtype=self.dtype, name="fusion_out")(fused)
+        logits = nn.Dense(self.num_bins, dtype=self.dtype, kernel_init=BERT_INIT,
+                          name="fusion_out")(fused)
         # the reference applies Softmax inside the head (regressor.py:73)
         return nn.softmax(logits, axis=-1)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from crct_tpu.config import CRCTModelConfig
-from crct_tpu.models.layers import (ACT2FN, ConnectionLayer, TransformerLayer,
+from crct_tpu.models.layers import (ACT2FN, BERT_INIT, ConnectionLayer,
+                                    TransformerLayer, dense,
                                     extended_attention_mask)
 
 
@@ -46,21 +47,16 @@ class TextEmbeddings(nn.Module):
         first_qa = jnp.min(masked_pos, axis=-1, keepdims=True)
         rel_pos = jnp.where(is_qa, masked_pos - first_qa, 0)
 
-        word_emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
-                            name="word_embeddings")(input_ids)
-        pos_emb = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
-                           dtype=self.dtype, name="position_embeddings")(rel_pos)
+        word_emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, embedding_init=BERT_INIT, name="word_embeddings")(input_ids)
+        pos_emb = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, dtype=self.dtype, embedding_init=BERT_INIT, name="position_embeddings")(rel_pos)
         pos_emb = jnp.where(is_qa[..., None], pos_emb, 0)
 
-        loc_emb = nn.Dense(cfg.hidden_size, dtype=self.dtype,
-                           name="txt_location_embeddings")(loc.astype(self.dtype))
+        loc_emb = dense(cfg.hidden_size, self.dtype, "txt_location_embeddings")(loc.astype(self.dtype))
         loc_emb = jnp.where(
             (jnp.sum(jnp.abs(loc), axis=-1) == 0)[..., None], 0, loc_emb)
 
         type_ids = jnp.where(token_type_ids == -1, 0, token_type_ids)
-        type_emb = nn.Embed(cfg.plotqa_vocab_types, cfg.hidden_size,
-                            dtype=self.dtype,
-                            name="plotqa_type_embeddings")(type_ids)
+        type_emb = nn.Embed(cfg.plotqa_vocab_types, cfg.hidden_size, dtype=self.dtype, embedding_init=BERT_INIT, name="plotqa_type_embeddings")(type_ids)
         type_emb = jnp.where((token_type_ids == 0)[..., None], 0, type_emb)
 
         emb = word_emb + pos_emb + type_emb + loc_emb
@@ -86,20 +82,18 @@ class ImageEmbeddings(nn.Module):
     def __call__(self, image_feat, image_loc, image_class, areas=None,
                  deterministic=True):
         cfg = self.config
-        img_emb = nn.Dense(cfg.v_hidden_size, dtype=self.dtype,
-                           name="new_image_embeddings")(
+        img_emb = dense(cfg.v_hidden_size, self.dtype, "new_image_embeddings")(
             jax.nn.softmax(image_feat.astype(self.dtype), axis=-1))
-        loc_emb = nn.Dense(cfg.v_hidden_size, dtype=self.dtype,
-                           name="new_loc_emb")(image_loc.astype(self.dtype))
+        loc_emb = dense(cfg.v_hidden_size, self.dtype, "new_loc_emb")(image_loc.astype(self.dtype))
         color_emb = nn.Embed(self.categories + 1, cfg.v_hidden_size,
-                             dtype=self.dtype, name="color_emb")(image_class)
+                             dtype=self.dtype, embedding_init=BERT_INIT,
+                             name="color_emb")(image_class)
         if self.dataset in ("figure_qa", "dvqa"):
             emb = loc_emb + color_emb
         else:
             emb = img_emb + loc_emb + color_emb
         if areas is not None:
-            emb = emb + nn.Dense(cfg.v_hidden_size, dtype=self.dtype,
-                                 name="areas_emb")(
+            emb = emb + dense(cfg.v_hidden_size, self.dtype, "areas_emb")(
                 areas.astype(self.dtype)[..., None])
         if not deterministic and self.mask_prob_img > 0:
             rng = self.make_rng("dropout")
@@ -202,8 +196,7 @@ class Pooler(nn.Module):
     @nn.compact
     def __call__(self, hidden_states):
         first = hidden_states[:, 0]
-        return nn.relu(nn.Dense(self.bi_hidden_size, dtype=self.dtype,
-                                name="dense")(first))
+        return nn.relu(dense(self.bi_hidden_size, self.dtype, "dense")(first))
 
 
 class TwoStreamEncoderModel(nn.Module):
@@ -251,4 +244,4 @@ class PreTrainingHeads(nn.Module):
         else:
             raise ValueError(cfg.fusion_method)
         pooled = nn.Dropout(0.1)(pooled, deterministic=deterministic)
-        return nn.Dense(2, dtype=self.dtype, name="bi_seq_relationship")(pooled)
+        return dense(2, self.dtype, "bi_seq_relationship")(pooled)

@@ -1,0 +1,137 @@
+"""FigureQA binary-answers evaluation path + end-to-end learning test."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from crct_tpu.config import default_params
+from crct_tpu.data.dataset import ChartQADataset, DataLoader
+from crct_tpu.models.crct import CRCTModel
+from crct_tpu.train.eval_loop import evaluate
+from tests.helpers import tiny_model_config
+from tests.test_variants import _figqa_fig_feat
+
+
+def _write_figqa_dataset(tmp_path, n_images=4, n_questions=3):
+    rng = np.random.default_rng(0)
+    feat_root = tmp_path / "ff"
+    qa_root = tmp_path / "qa"
+    for split in ("train1", "validation1", "validation2"):
+        (feat_root / split).mkdir(parents=True, exist_ok=True)
+        (qa_root / split).mkdir(parents=True, exist_ok=True)
+        records, qa_pairs = [], []
+        words = ["alpha", "beta", "gamma", "delta", "north", "south",
+                 "east", "west"]
+        for img_id in range(n_images):
+            rec = _figqa_fig_feat()
+            rec["image_id"] = img_id
+            # vary the chart text per image so labels are learnable
+            rec["text_feat"]["x_axis"]["ticks"] = [
+                (words[(img_id * 2) % len(words)], 0.2),
+                (words[(img_id * 2 + 1) % len(words)], 0.6)]
+            records.append(rec)
+            for q in range(n_questions):
+                qa_pairs.append({
+                    "image_index": img_id,
+                    "question_string": f"is {words[q % len(words)]} rising ?",
+                    # deterministic function of (chart, question) -> learnable
+                    "answer": (img_id + q) % 2,
+                })
+        np.save(feat_root / split / "0.npy",
+                np.asarray(records, dtype=object), allow_pickle=True)
+        np.save(qa_root / split / "qa_pairs.npy",
+                np.asarray(qa_pairs, dtype=object), allow_pickle=True)
+    return default_params(
+        dataset="figure_qa", binary_answers=True, max_seq_len=64,
+        max_vis_features=10, categories=258,
+        figure_feat_path=str(feat_root) + "/",
+        qa_parent_dir=str(qa_root) + "/",
+        dataset_config={"dataset_files_divisions":
+                        {"train": 4, "val": 4, "test": 4}},
+        splits=["train1", "validation1", "validation2"],
+        eval_set="val", save_path=str(tmp_path / "results"),
+        eval_batch_size=16,
+    )
+
+
+def test_binary_eval_end_to_end(tmp_path):
+    params = _write_figqa_dataset(tmp_path)
+    ds = ChartQADataset(params, ["val"], init_split="val")
+    ds.get_all_answers = True
+    cfg = tiny_model_config(v_feature_size=32)
+    model = CRCTModel(config=cfg, categories=params["categories"],
+                      binary_answers=True)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, drop_last=False,
+                        num_workers=1)
+    batch = next(iter(loader))
+    # binary mode: one row per question, no candidate padding
+    assert batch["tokens"].shape[0] == 4
+    from crct_tpu.train.train_loop import device_batch
+    variables = model.init({"params": jax.random.key(0)},
+                           device_batch(batch), train=False)
+    total, breakdown, hist = evaluate(loader, ds, params, model,
+                                      variables["params"], csv=False)
+    n = len(ds)
+    assert total[0, 1] == n           # every question scored once
+    assert total[2, 1] == 0           # no regression questions
+    assert 0 <= total[0, 0] <= n
+
+
+def test_training_learns_binary_answers(tmp_path):
+    """End-to-end learning check: a tiny model overfits the synthetic
+    FigureQA train split (NSP accuracy well above chance)."""
+    params = _write_figqa_dataset(tmp_path, n_images=4, n_questions=4)
+    # lr 1e-4: higher rates can collapse the ReLU-mul fusion head (a known
+    # fragility of the reference architecture; it trains at 2e-5)
+    params.update(batch_size=16, num_workers=1, lr=1e-4, image_lr=1e-4,
+                  min_lr=1e-6, warmup=10, wd=0.0)  # wd off for pure overfit
+    ds = ChartQADataset(params, ["train"])
+    ds.split = "train"
+    # binary: dataset length is NOT doubled
+    assert len(ds) == 16
+    loader = DataLoader(ds, batch_size=16, shuffle=True, num_workers=1)
+    sample = next(iter(loader))
+    # dropout off: memorizing 16 examples under 10% dropout needs far more
+    # steps than a unit test affords; the Trainer path is unchanged
+    cfg = tiny_model_config(v_feature_size=32, hidden_dropout_prob=0.0,
+                            attention_probs_dropout_prob=0.0,
+                            v_hidden_dropout_prob=0.0,
+                            v_attention_probs_dropout_prob=0.0)
+    model = CRCTModel(config=cfg, categories=params["categories"],
+                      binary_answers=True)
+    from crct_tpu.train.train_loop import Trainer, device_batch
+    # iters_per_epoch sets the LR horizon (t_total = iters * 20); keep it
+    # large enough that the LR hasn't decayed to the floor mid-test
+    trainer = Trainer(params, model, sample, iters_per_epoch=100)
+
+    # Drive the compiled train step directly with a fixed dropout key: the
+    # NSP head carries a hardcoded 0.1 fusion dropout (reference
+    # vilbert.py:1045), so a 16-example overfit under fresh per-step masks is
+    # too noisy for a unit test; a fixed mask keeps the check deterministic
+    # while exercising the full jitted step + partitioned optimizer.
+    import copy
+    import jax.numpy as jnp
+    p = copy.deepcopy(jax.device_get(trainer.params))
+    s = copy.deepcopy(jax.device_get(trainer.opt_state))
+    db = jax.tree.map(jnp.asarray, device_batch(sample))
+    key = jax.random.key(5)
+    first = None
+    for i in range(300):
+        p, s, m = trainer.train_step(p, s, db, key)
+        if first is None:
+            first = float(np.asarray(m)[2])
+    final = float(np.asarray(m)[2])
+    assert final < 0.55 < first, (first, final)
+
+    # the trained model now classifies most of its training batch correctly
+    out = model.apply({"params": jax.device_get(p)}, db, train=False)
+    pred = np.argmax(np.asarray(out.nsp_logits), -1)
+    labels = np.asarray(sample["next_sentence_labels"]).reshape(-1)
+    acc = float((pred == labels).mean())
+    assert acc >= 0.75, acc
+
+    # the stochastic run_step path stays finite and healthy
+    m = trainer.run_step(sample)
+    assert np.isfinite(np.asarray(m)).all()
