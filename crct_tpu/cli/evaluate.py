@@ -63,7 +63,11 @@ def main(argv=None):
     loader = DataLoader(dataset, batch_size=max(1, params["eval_batch_size"]),
                         shuffle=False, drop_last=False,
                         num_workers=params.get("num_workers", 8) or 1,
-                        indices=indices)
+                        indices=indices,
+                        # per-host question sharding (DistributedSampler
+                        # parity, evaluation.py:153)
+                        num_shards=jax.process_count(),
+                        shard_index=jax.process_index())
     sample = next(iter(DataLoader(dataset, batch_size=1, shuffle=False,
                                   num_workers=1, drop_last=False)))
     # the eval step consumes flattened candidate rows

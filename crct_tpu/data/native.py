@@ -11,10 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 from typing import Dict, List, Optional
-
-import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")

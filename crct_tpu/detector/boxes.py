@@ -9,7 +9,6 @@ boolean indexing.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

@@ -17,10 +17,8 @@ geometry on CPU.
 from __future__ import annotations
 
 import glob
-import json
 import os
 import re
-import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -11,8 +11,7 @@ config (frcnn.py:133) and fixed-shape batched NMS.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +19,6 @@ from flax import linen as nn
 
 from crct_tpu.detector import boxes as box_ops
 from crct_tpu.ops.nms import batched_nms
-from crct_tpu.ops.roi_align import multilevel_roi_align
 
 BOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 

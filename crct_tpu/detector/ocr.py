@@ -12,7 +12,7 @@ Host-side (offline) components of the feature extractor:
 from __future__ import annotations
 
 import difflib
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 import scipy.optimize

@@ -9,7 +9,7 @@ TPU is a pure elementwise op XLA fuses into the surrounding convs.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,7 +9,6 @@ losses use IoU 0.7/0.3 matching and a 256-anchor fixed sample.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax

@@ -9,9 +9,8 @@ the device mesh exactly like the QA stage.
 from __future__ import annotations
 
 import os
-import time
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

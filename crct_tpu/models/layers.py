@@ -11,7 +11,7 @@ extended-mask convention (vilbert.py:1380-1396).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,14 +12,14 @@ ops instead of in-place writes.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from crct_tpu.config import CRCTModelConfig
-from crct_tpu.models.layers import (ACT2FN, BERT_INIT, ConnectionLayer,
+from crct_tpu.models.layers import (BERT_INIT, ConnectionLayer,
                                     TransformerLayer, dense,
                                     extended_attention_mask)
 

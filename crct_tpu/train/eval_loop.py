@@ -23,11 +23,9 @@ from __future__ import annotations
 import glob
 import os
 import time
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from crct_tpu.data.example_builder import EVAL_PADDED_SIZE
@@ -346,7 +344,21 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     if inf_time[1]:
         log_print(f"Avg inference time: {inf_time[0] / inf_time[1]:.4f}s "
                   f"for {inf_time[1]} questions.")
+    # multi-host: sum accumulators across processes (the reference's
+    # per-rank all_reduce, evaluation.py:487-523, done once at the end here)
+    total_correct = global_sum(total_correct)
+    breakdown = global_sum(breakdown)
+    histogram = global_sum(histogram)
     return total_correct, breakdown, histogram
+
+
+def global_sum(arr: np.ndarray) -> np.ndarray:
+    """Sum a host-side accumulator over all JAX processes (no-op on one)."""
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(np.asarray(arr))
+    return np.asarray(gathered).sum(axis=0).astype(arr.dtype)
 
 
 # ---------------------------------------------------------------------------

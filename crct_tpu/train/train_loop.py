@@ -16,7 +16,7 @@ import time
 from functools import partial
 from time import gmtime, strftime
 from timeit import default_timer as timer
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +24,7 @@ import numpy as np
 import optax
 
 from crct_tpu.models.crct import CRCTModel, build_model
-from crct_tpu.parallel.mesh import (batch_sharding, make_mesh, replicate,
-                                    shard_batch)
+from crct_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from crct_tpu.train.optimizer import current_lr, make_optimizer
 from crct_tpu.utils.checkpoint import (checkpoint_name, epoch_from_name,
                                        load_checkpoint, save_checkpoint,
