@@ -525,14 +525,17 @@ class ExampleBuilder:
             item['area'] = area
 
         # ---- eval candidate fan-out pad ----------------------------------
-        if ((get_all_answers or split != 'train')
-                and not params['binary_answers'] and not params['fixed_vocab']):
+        # visual keys broadcast over the candidates (fig_dataloader.py:690-693);
+        # with -fixed_vocab the fan-out is already constant (vocab size), so
+        # the 120-candidate padding is skipped (fig_dataloader.py:584)
+        if (get_all_answers or split != 'train') and not params['binary_answers']:
             n = int(item['num_ans'][0])
             for key in PADDING_VIS:
                 item[key] = np.broadcast_to(
                     item[key], (n,) + item[key].shape).copy()
-            for key in PADDING_TXT + PADDING_VIS:
-                item[key] = pad_first_dim(item[key], EVAL_PADDED_SIZE)
+            if not params['fixed_vocab']:
+                for key in PADDING_TXT + PADDING_VIS:
+                    item[key] = pad_first_dim(item[key], EVAL_PADDED_SIZE)
         return item
 
     def _encode_visual(self, fig_feat, split, rng):

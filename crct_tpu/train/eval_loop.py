@@ -28,7 +28,6 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-from crct_tpu.data.example_builder import EVAL_PADDED_SIZE
 from crct_tpu.models.crct import CRCTModel
 
 # question-category membership by qid prefix lists (evaluation.py:434-445)
@@ -72,17 +71,21 @@ ROW_KEYS = ["tokens", "segments", "loc", "sep_indices", "hist_len",
 
 
 def _flatten_valid_rows(batch: Dict[str, Any]) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
-    """[B, 120, ...] -> [N_valid, ...] keeping per-question row offsets."""
+    """[B, P, ...] -> [N_valid, ...] keeping per-question row offsets.
+
+    P is EVAL_PADDED_SIZE normally, or the fixed-vocab size when
+    -fixed_vocab skips the 120-candidate padding."""
     num_ans = np.asarray(batch["num_ans"]).reshape(-1)
     B = num_ans.shape[0]
-    take = [np.arange(n) + q * EVAL_PADDED_SIZE for q, n in enumerate(num_ans)]
+    pad = np.asarray(batch["tokens"]).shape[1]
+    take = [np.arange(n) + q * pad for q, n in enumerate(num_ans)]
     flat_idx = np.concatenate(take)
     rows = {}
     for k in ROW_KEYS:
         if k not in batch:
             continue
         v = np.asarray(batch[k])
-        rows[k] = v.reshape((B * EVAL_PADDED_SIZE,) + v.shape[2:])[flat_idx]
+        rows[k] = v.reshape((B * pad,) + v.shape[2:])[flat_idx]
     # hist_len arrives [B,120,1] after padding; the model wants [N] or [N,1]
     if rows["hist_len"].ndim > 1:
         rows["hist_len"] = rows["hist_len"].reshape(len(flat_idx), -1)[:, :1]

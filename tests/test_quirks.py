@@ -139,3 +139,36 @@ def test_ddp_seed_from_dist_url(tmp_path):
                                 "-dist_url", "file:///tmp/DDP_TEMP_FILE_777",
                                 "-save_name", "x"])
     assert params["seed"] == 777
+
+
+def test_fixed_vocab_eval_end_to_end(tmp_path):
+    """The eval engine handles the fixed-vocab fan-out (constant num_ans,
+    no 120-candidate padding)."""
+    import jax
+    from crct_tpu.data.dataset import DataLoader
+    from crct_tpu.models.crct import CRCTModel
+    from crct_tpu.train.eval_loop import evaluate
+    from crct_tpu.train.train_loop import device_batch
+    from tests.helpers import synthetic_params, tiny_model_config
+    params = synthetic_params(tmp_path, n_images=4, division=4,
+                              n_questions=2, feat_dim=32, fixed_vocab=True,
+                              eval_batch_size=64)
+    ds = ChartQADataset(params, ["val"], init_split="val")
+    ds.get_all_answers = True
+    item = ds[0]
+    n_vocab = len(ds.builder.fixed_vocab)
+    assert item["tokens"].shape[0] == n_vocab
+    cfg = tiny_model_config(v_feature_size=32)
+    model = CRCTModel(config=cfg, categories=params["categories"])
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    from crct_tpu.train.eval_loop import _chunk_rows, _flatten_valid_rows
+    sample = next(iter(loader))
+    rows, offsets = _flatten_valid_rows(sample)
+    assert offsets[-1] == 2 * n_vocab
+    chunked, _ = next(_chunk_rows(rows, 64))
+    variables = model.init({"params": jax.random.key(0)},
+                           device_batch(chunked), train=False)
+    total, _, _ = evaluate(loader, ds, params, model, variables["params"],
+                           csv=False)
+    assert total[0, 1] == len(ds)
