@@ -62,12 +62,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Device-put array values sharded on the leading (batch) axis."""
+    """Device-put array values sharded on the leading (batch) axis.
+
+    Single-host: a plain sharded device_put. Multi-host: each process holds
+    only its slice of the global batch (the DataLoader's num_shards /
+    shard_index split), assembled into one global array per key."""
     sharding = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, (list, str)):
             out[k] = v
+        elif multihost:
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, np.asarray(v))
         else:
             out[k] = jax.device_put(v, sharding)
     return out

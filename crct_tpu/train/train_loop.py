@@ -168,10 +168,15 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
 
     dataset.split = "train"
     global_batch = params_dict["batch_size"] * (n_dev if params_dict.get("ddp") else 1)
-    loader = DataLoader(dataset, global_batch, shuffle=True,
+    # each process loads only its interleaved slice of the global batch
+    # (DistributedSampler parity, train.py:55); shard_batch reassembles the
+    # global array across hosts
+    per_host_batch = global_batch // jax.process_count()
+    loader = DataLoader(dataset, per_host_batch, shuffle=True,
                         seed=params_dict.get("seed", 0),
                         num_workers=params_dict.get("num_workers", 8) or 1,
-                        drop_last=True)
+                        drop_last=True, num_shards=jax.process_count(),
+                        shard_index=jax.process_index())
     iters_per_epoch = max(1, len(loader) / params_dict["batch_multiply"])
     if len(loader) == 0:
         raise ValueError(
