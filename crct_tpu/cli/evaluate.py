@@ -47,6 +47,8 @@ def load_eval_model(params, sample_batch):
 
 def main(argv=None):
     params = read_command_line(argv)
+    from crct_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(params)
     pprint.pprint({k: v for k, v in params.items() if k != "dvqa_floats"})
 
     dataset = ChartQADataset(params, params["eval_set"],

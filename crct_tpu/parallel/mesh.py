@@ -23,23 +23,34 @@ def maybe_initialize_distributed(params: Optional[Dict[str, Any]] = None) -> boo
     coordinator is configured (replaces the reference's file:// NCCL
     rendezvous, options.py:114-117). Coordinator address comes from
     ``-dist_url`` or the JAX_COORDINATOR_ADDRESS env var; on single-host
-    runs this is a no-op."""
+    runs this is a no-op.
+
+    MUST be the first JAX call in the process: ``initialize()`` has no
+    effect once a local backend exists, so this function decides whether
+    to initialize purely from params/env, never from ``jax.devices()`` /
+    ``jax.process_count()``.
+    """
     import os
+    p = params or {}
     addr = None
-    if params and params.get("dist_url"):
-        addr = params["dist_url"].replace("tcp://", "")
+    # file:// urls are the reference's NCCL rendezvous (and the synthesized
+    # seed-from-url quirk, config.py) — not a JAX coordinator address
+    if p.get("dist_url") and not str(p["dist_url"]).startswith("file://"):
+        addr = str(p["dist_url"]).replace("tcp://", "")
     addr = addr or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not addr or jax.process_count() > 1:
+    num_processes = p.get("world_size")
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    process_id = p.get("rank")
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    if not addr or int(num_processes) <= 1:
         return False
-    num_processes = (params or {}).get("world_size") or int(
-        os.environ.get("JAX_NUM_PROCESSES", "1"))
-    process_id = (params or {}).get("rank") or int(
-        os.environ.get("JAX_PROCESS_ID", "0"))
-    if num_processes <= 1:
+    if jax.distributed.is_initialized():
         return False
     jax.distributed.initialize(coordinator_address=addr,
-                               num_processes=num_processes,
-                               process_id=process_id)
+                               num_processes=int(num_processes),
+                               process_id=int(process_id))
     return True
 
 

@@ -170,12 +170,19 @@ class EvaluationLog:
     COLUMNS = ["qa_ind", "gt_cls", "pred_cls", "gt_reg", "pred_reg",
                "reg_target", "reg_%_error", "reg_t_error"]
 
-    def __init__(self, params: Dict[str, Any], cont_eval: bool):
+    def __init__(self, params: Dict[str, Any], cont_eval: bool,
+                 rank: Optional[int] = None):
         os.makedirs(params["save_path"], exist_ok=True)
         ckpt = os.path.basename(str(params.get("start_checkpoint", "ck")))
         base = f"{params['save_path']}/eval_results_{params['eval_set']}_{ckpt}"
-        self.fp = f"{base}_{params.get('rank', 0)}.csv"
-        self.snapshot_paths = {k: f"{base}_{k}.npy"
+        # one CSV + one snapshot set per process: accumulators here are
+        # per-host partial sums (reduced once at the end, unlike the
+        # reference's per-batch all_reduce), so resume state must not be
+        # shared between ranks (reference per-rank CSVs, evaluation.py:69-126)
+        if rank is None:
+            rank = jax.process_index()
+        self.fp = f"{base}_{rank}.csv"
+        self.snapshot_paths = {k: f"{base}_{k}_{rank}.npy"
                                for k in ("breakdown", "total_correct", "histogram")}
         if not cont_eval:
             with open(self.fp, "w") as f:
