@@ -11,22 +11,55 @@ a per-group floor at ``min_lr`` (WarmupLinearScheduleNonZero).
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import functools
+import json
+import os
+from typing import Any, Dict, FrozenSet, Optional
 
 import jax
 import optax
 
+# The committed partition artifact: flax leaf paths of every parameter that
+# takes ``lr`` (text stream). Generated from the reference's
+# config/language_weights.json (utils.py:228-249) through the checkpoint
+# converter's key mapping by tools/gen_language_weights.py.
+LANGUAGE_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "configs", "language_weights.json")
 
-def _is_language_param(path) -> bool:
+
+@functools.lru_cache(maxsize=1)
+def language_weight_paths() -> FrozenSet[str]:
+    with open(LANGUAGE_WEIGHTS_PATH) as f:
+        return frozenset(json.load(f))
+
+
+def _path_str(path) -> str:
+    return "/".join(getattr(p, "key", str(p)) for p in path)
+
+
+def _is_language_param(path, artifact: Optional[FrozenSet[str]] = None) -> bool:
     """Text-stream BERT weights get ``lr``; all else ``image_lr``.
 
-    Mirrors the effective partition of config/language_weights.json: the list
-    names ``bert_pretrained.bert.embeddings.{word,position}_embeddings``,
-    ``...embeddings.LayerNorm`` and ``...encoder.layer.0-11`` (the text
-    layers). The location/type embeddings, vision/co-attention layers,
-    poolers, the bi_seq_relationship head and the regressor are absent from
-    the list, so they take image_lr.
+    Membership in the committed artifact decides. The heuristic fallback
+    (t_layers + text word/position embeddings + their LayerNorm — exactly
+    the artifact's effective coverage of this tree; the location/type
+    embeddings, vision/co-attention layers, poolers, bi_seq_relationship
+    head and regressor all take image_lr) is only used if the artifact file
+    is missing, and test_optimizer_partition pins the two against each
+    other so drift fails CI.
     """
+    if artifact is None:
+        try:
+            artifact = language_weight_paths()
+        except OSError:
+            artifact = None
+    if artifact is not None:
+        return _path_str(path) in artifact
+    return _is_language_param_heuristic(path)
+
+
+def _is_language_param_heuristic(path) -> bool:
     keys = [getattr(p, "key", str(p)) for p in path]
     if "encoder" in keys and any(k.startswith("t_layer_") for k in keys):
         return True

@@ -57,6 +57,43 @@ def test_optimizer_partition_labels():
                and "_ln" not in k)
 
 
+def test_optimizer_partition_artifact_matches_tree():
+    """The committed language_weights.json artifact must (a) be fully
+    contained in the real full-size param tree and (b) agree with the
+    path heuristic on every leaf — so either drifting breaks CI
+    (reference artifact: CRCT/config/language_weights.json)."""
+    import functools
+    from crct_tpu.config import CRCTModelConfig
+    from crct_tpu.train.optimizer import (_is_language_param_heuristic,
+                                          _path_str, language_weight_paths)
+
+    model = CRCTModel(config=CRCTModelConfig(), categories=228)
+    rng = np.random.default_rng(0)
+    B, L, R = 2, 124, 44
+    batch = {
+        "tokens": jnp.zeros((B, L), jnp.int32),
+        "segments": jnp.zeros((B, L), jnp.int32),
+        "loc": jnp.zeros((B, L, 4), jnp.float32),
+        "sep_indices": jnp.zeros((B, 50), jnp.int32),
+        "hist_len": jnp.zeros((B, 1), jnp.int32),
+        "image_feat": jnp.zeros((B, R, 1024), jnp.float32),
+        "image_loc": jnp.zeros((B, R, 4), jnp.float32),
+        "image_target": jnp.zeros((B, R), jnp.int32),
+        "image_mask": jnp.ones((B, R), jnp.float32),
+        "R": jnp.zeros((B, 4), jnp.float32),
+    }
+    variables = jax.eval_shape(functools.partial(model.init, train=False),
+                               {"params": jax.random.key(0)}, batch)
+    leaves = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    tree_paths = {_path_str(p) for p, _ in leaves}
+    artifact = language_weight_paths()
+    assert artifact <= tree_paths, sorted(artifact - tree_paths)[:5]
+    for p, _ in leaves:
+        assert _is_language_param(p) == _is_language_param_heuristic(p), \
+            _path_str(p)
+    assert sum(_is_language_param(p) for p, _ in leaves) == len(artifact)
+
+
 def test_train_step_decreases_loss():
     cfg = tiny_model_config()
     model = CRCTModel(config=cfg, categories=10)
