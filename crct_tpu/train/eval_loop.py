@@ -108,6 +108,18 @@ def _chunk_rows(rows: Dict[str, np.ndarray], chunk: int):
         yield out, e - s
 
 
+def segmented_argmax(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """argmax within each [offsets[q], offsets[q+1]) segment, relative to the
+    segment start; ties break to the first maximum like np.argmax."""
+    starts = np.asarray(offsets[:-1], np.int64)
+    n = len(values)
+    seg_of_row = np.repeat(np.arange(len(starts)),
+                           np.diff(offsets).astype(np.int64))
+    seg_max = np.maximum.reduceat(values, starts)
+    row_ids = np.where(values == seg_max[seg_of_row], np.arange(n), n)
+    return np.minimum.reduceat(row_ids, starts) - starts
+
+
 # ---------------------------------------------------------------------------
 # accumulator reducers (host-side numpy; psum-able device arrays upstream)
 # ---------------------------------------------------------------------------
@@ -129,21 +141,40 @@ def reduce_total_acc(total: np.ndarray, needs_reg, nsp_right, reg_right,
 
 def reduce_breakdown(breakdown: np.ndarray, dataset, batch, correct,
                      t_correct, needs_reg) -> np.ndarray:
-    add = np.zeros_like(breakdown)
+    """Vectorized breakdown accumulation (reference reduce_breakdown_table,
+    evaluation.py:465-491): scatter-add over (fig, ans_type, qcat) index
+    triples instead of a per-question Python loop. Only the string->int
+    lookups (qid category, fig-table id, answer type) stay host-side."""
     ids = np.asarray(batch["id"]).reshape(-1)
-    for i in range(len(ids)):
-        qid, qa_type = batch["qid"][i], batch["qa_type"][i]
-        ans_type = dataset.get_ans_type(int(ids[i]))
-        _, qcat = get_qcat_by_qid(qid)
-        for fig_id in {0, FIG_TABLE_IDS[qa_type]}:
-            add[fig_id, ans_type, qcat, 0] += bool(correct[i])
-            add[fig_id, ans_type, qcat, 1] += bool(t_correct[i])
-            add[fig_id, ans_type, qcat, -1] += 1
-            if needs_reg[i]:
-                add[fig_id, -1, qcat, 0] += bool(correct[i])
-                add[fig_id, -1, qcat, 1] += bool(t_correct[i])
-                add[fig_id, -1, qcat, -1] += 1
-    breakdown += add
+    n = len(ids)
+    fig = np.fromiter((FIG_TABLE_IDS[batch["qa_type"][i]] for i in range(n)),
+                      np.int64, n)
+    qcat = np.fromiter((get_qcat_by_qid(batch["qid"][i])[1] for i in range(n)),
+                       np.int64, n)
+    ans = np.fromiter((dataset.get_ans_type(int(i)) for i in ids),
+                      np.int64, n)
+    c = np.asarray(correct, breakdown.dtype)
+    t = np.asarray(t_correct, breakdown.dtype)
+    one = np.ones(n, breakdown.dtype)
+    nr = np.asarray(needs_reg, bool)
+
+    def scatter(sel, fig_idx, ans_idx):
+        np.add.at(breakdown, (fig_idx, ans_idx, qcat[sel], 0), c[sel])
+        np.add.at(breakdown, (fig_idx, ans_idx, qcat[sel], 1), t[sel])
+        np.add.at(breakdown, (fig_idx, ans_idx, qcat[sel], -1), one[sel])
+
+    # every question counts toward the 'Total' table (fig row 0) and, when
+    # different, its own fig-type row ({0, fig_id} set semantics)
+    every = np.ones(n, bool)
+    nz = fig != 0
+    reg_row = breakdown.shape[1] - 1
+    scatter(every, np.zeros(n, np.int64), ans)
+    scatter(nz, fig[nz], ans[nz])
+    # regression rows (ans_type -1)
+    scatter(nr, np.zeros(int(nr.sum()), np.int64),
+            np.full(int(nr.sum()), reg_row, np.int64))
+    both = nz & nr
+    scatter(both, fig[both], np.full(int(both.sum()), reg_row, np.int64))
     return breakdown
 
 
@@ -291,20 +322,18 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_reg_out = np.zeros(len(ids))
             answers_idx = answers
         else:
-            answers_idx = np.zeros(len(ids), np.int64)
-            ans_reg5 = np.zeros(len(ids))
-            ans_regl1 = np.zeros(len(ids))
-            ans_reg_out = np.zeros(len(ids))
-            for q in range(len(ids)):
-                s, e = offsets[q], offsets[q + 1]
-                if params.get("qa_file") and "_REGS" in params["qa_file"]:
-                    a = int(gt_id[q])
-                else:
-                    a = int(np.argmax(nsp_probs[s:e]))
-                answers_idx[q] = a
-                ans_reg5[q] = reg5[s + a]
-                ans_regl1[q] = regl1[s + a]
-                ans_reg_out[q] = reg_out[s + a]
+            # vectorized per-question (segmented) argmax over candidate NSP
+            # probs — replaces the reference's per-question Python loop
+            # (evaluation.py:287-296); first-max tie-breaking preserved
+            starts = offsets[:-1].astype(np.int64)
+            if params.get("qa_file") and "_REGS" in params["qa_file"]:
+                answers_idx = gt_id.astype(np.int64)
+            else:
+                answers_idx = segmented_argmax(nsp_probs, offsets)
+            sel = starts + answers_idx
+            ans_reg5 = reg5[sel]
+            ans_regl1 = regl1[sel]
+            ans_reg_out = reg_out[sel]
             nsp_right = answers_idx == gt_id
 
         tol = np.asarray(batch["tolerance_margin"]).reshape(len(ids), -1)[:, 0]

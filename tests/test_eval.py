@@ -118,3 +118,56 @@ def test_histogram_png_written(eval_env, tmp_path):
     if out is not None:  # matplotlib present
         import os
         assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_segmented_argmax_matches_loop():
+    from crct_tpu.train.eval_loop import segmented_argmax
+    g = np.random.default_rng(3)
+    num_ans = g.integers(1, 9, 40)
+    offsets = np.concatenate([[0], np.cumsum(num_ans)])
+    vals = np.round(g.random(int(offsets[-1])), 1)  # duplicates force ties
+    got = segmented_argmax(vals, offsets)
+    want = np.asarray([int(np.argmax(vals[offsets[q]:offsets[q + 1]]))
+                       for q in range(len(num_ans))])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_reduce_breakdown_matches_loop_reference():
+    """Vectorized scatter-add == the reference's per-question double loop
+    (evaluation.py:465-491)."""
+    from crct_tpu.train.eval_loop import (FIG_TABLE_IDS, get_qcat_by_qid,
+                                          reduce_breakdown)
+    g = np.random.default_rng(5)
+    n = 64
+    qa_types = list(FIG_TABLE_IDS)
+    batch = {
+        "id": np.arange(n),
+        "qid": [g.choice(["S7", "D15", "R1", "Z9"]) for _ in range(n)],
+        "qa_type": [qa_types[int(g.integers(0, len(qa_types)))] for _ in range(n)],
+    }
+
+    class DS:
+        def get_ans_type(self, i):
+            return int(i) % 3
+
+    correct = g.integers(0, 2, n).astype(bool)
+    t_correct = correct | (g.integers(0, 2, n).astype(bool))
+    needs_reg = g.integers(0, 2, n).astype(bool)
+
+    want = np.zeros((5, 4, 3, 3), np.float64)
+    ds = DS()
+    for i in range(n):
+        ans_type = ds.get_ans_type(int(batch["id"][i]))
+        _, qcat = get_qcat_by_qid(batch["qid"][i])
+        for fig_id in {0, FIG_TABLE_IDS[batch["qa_type"][i]]}:
+            want[fig_id, ans_type, qcat, 0] += bool(correct[i])
+            want[fig_id, ans_type, qcat, 1] += bool(t_correct[i])
+            want[fig_id, ans_type, qcat, -1] += 1
+            if needs_reg[i]:
+                want[fig_id, -1, qcat, 0] += bool(correct[i])
+                want[fig_id, -1, qcat, 1] += bool(t_correct[i])
+                want[fig_id, -1, qcat, -1] += 1
+
+    got = reduce_breakdown(np.zeros((5, 4, 3, 3), np.float64), ds, batch,
+                           correct, t_correct, needs_reg)
+    np.testing.assert_array_equal(got, want)
