@@ -8,6 +8,10 @@ activations.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+``--pallas`` switches the attention cores to the Pallas kernels; measured
+slower than XLA at CRCT's tiny sequence lengths (see docs/KERNELS.md), so
+the headline number uses the default XLA path.
+
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
 the denominator is a documented estimate of the PyTorch-DDP per-GPU training
 throughput of the same model/batch on the reference's 4-GPU rig:

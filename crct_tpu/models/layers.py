@@ -47,9 +47,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     additive_mask broadcasts to [B, H, Lq, Lk] (0 attend / -10000 masked).
     """
-    if use_pallas and deterministic:
+    if use_pallas:
         from crct_tpu.ops.attention import fused_attention
-        return fused_attention(q, k, v, additive_mask)
+        rate = 0.0 if deterministic else dropout_rate
+        return fused_attention(q, k, v, additive_mask,
+                               dropout_rate=rate, dropout_rng=dropout_rng)
     depth = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
