@@ -33,7 +33,156 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 
 
-def main(pallas: bool = False) -> None:
+def bench_eval(model, params, rng, n_chips: int) -> dict:
+    """Eval-path throughput with the 120-candidate fan-out: candidate rows
+    scored per second through the jitted eval step (the reference's real
+    bottleneck, evaluation.py:243-262 — every question expands to up to 120
+    rows, fig_dataloader.py:76)."""
+    from __graft_entry__ import _synthetic_step_batch
+    from crct_tpu.train.eval_loop import make_eval_step
+
+    CHUNK = 480     # rows per compiled eval step (4 fully-padded questions)
+    batch = _synthetic_step_batch(rng, B=CHUNK, L=124, R=44, vdim=1024,
+                                  vocab=30522, cats=228)
+    rows = {k: v for k, v in batch.items() if k != "next_sentence_labels"}
+    eval_step = make_eval_step(model)
+    out = eval_step(params, rows)
+    np.asarray(out[0])          # fence (axon: host fetch only)
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        out = eval_step(params, rows)
+    np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    rows_per_sec = CHUNK * MEASURE_STEPS / dt / n_chips
+    return {
+        "eval_candidate_rows_per_sec_per_chip": round(rows_per_sec, 1),
+        "eval_questions_per_sec_per_chip_at_120_fanout":
+            round(rows_per_sec / 120.0, 2),
+    }
+
+
+def bench_e2e_charts(n_chips: int) -> dict:
+    """End-to-end charts/sec: chart PNG -> Mask R-CNN R50-FPN detection ->
+    feature extraction (<IMG> token, GT-text oracle, axes normalization) ->
+    full-size CRCT QA answer. First pass compiles (detector + eval step);
+    the second identical pass is timed. Heavy; run via ``--all``."""
+    import os
+    import shutil
+    import tempfile
+
+    from crct_tpu.cli import extract_features
+    from crct_tpu.config import CRCTModelConfig, default_params
+    from crct_tpu.data.dataset import ChartQADataset, DataLoader
+    from crct_tpu.detector.synthetic_charts import generate_png_dataset
+    from crct_tpu.models.crct import CRCTModel
+    from crct_tpu.train.eval_loop import evaluate
+    import jax
+
+    from PIL import Image
+    from crct_tpu.detector.coco import PIXEL_MEAN, PIXEL_STD
+    from crct_tpu.detector.extract import (build_feature_record, get_gt_texts,
+                                           get_nonvis_ids, inject_img_token,
+                                           path_to_img_id, sorted_image_files)
+    from crct_tpu.detector.mask_rcnn import MaskRCNN
+
+    n_images = 8
+    IMG = 512
+    td = tempfile.mkdtemp(prefix="crct_bench_e2e_")
+    try:
+        env = generate_png_dataset(os.path.join(td, "data"),
+                                   n_images=n_images, seed=0, split="test")
+        out_dir = os.path.join(td, "fig_features", "test")
+        qa_dir = os.path.join(td, "QA", "test")
+        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(qa_dir, exist_ok=True)
+        shutil.copy(env["qa_file"], os.path.join(qa_dir, "qa_pairs.npy"))
+
+        detector = MaskRCNN(num_classes=25, with_mask=True)
+
+        import jax.numpy as jnp
+
+        @jax.jit
+        def detect(dparams, image):
+            out = detector.apply({"params": dparams}, image, train=False)
+            full = jnp.asarray([[0.0, 0.0, IMG, IMG]])
+            img_feat = detector.apply({"params": dparams}, image, full,
+                                      method=MaskRCNN.extract_roi_features)
+            return out, img_feat[0]
+
+        dummy = jnp.zeros((IMG, IMG, 3), jnp.float32)
+        dvars = jax.jit(lambda r: detector.init(r, dummy, train=False))(
+            jax.random.key(0))
+        dparams = dvars["params"]
+        with open(env["annotations"]) as f:
+            gt_ann = json.load(f)
+        _, cls_dict = get_nonvis_ids("plotqa")
+        files = sorted_image_files(env["png_dir"])
+
+        def extract_pass():
+            records = []
+            for img_path in files:
+                raw = np.asarray(Image.open(img_path).convert("RGB"),
+                                 np.float32)
+                h, w = raw.shape[:2]
+                norm = (raw - PIXEL_MEAN) / PIXEL_STD
+                padded = np.zeros((IMG, IMG, 3), np.float32)
+                padded[:h, :w] = norm[:IMG, :IMG]
+                out, img_feat = detect(dparams, jnp.asarray(padded))
+                valid = np.asarray(out["valid"])
+                feats, classes, boxes = inject_img_token(
+                    np.asarray(out["features"])[valid],
+                    np.asarray(out["classes"])[valid],
+                    np.asarray(out["boxes"])[valid],
+                    np.asarray(img_feat), (h, w))
+                image_id = path_to_img_id(img_path)
+                gt_texts = get_gt_texts(gt_ann[image_id], cls_dict, "plotqa")
+                records.append(build_feature_record(
+                    image_id, feats, classes, boxes, (h, w),
+                    dataset="plotqa", gt_texts=gt_texts, ocr_mode="gt"))
+            np.save(os.path.join(out_dir, "0.npy"),
+                    np.asarray(records, dtype=object), allow_pickle=True)
+
+        params = default_params(
+            figure_feat_path=os.path.join(td, "fig_features") + "/",
+            qa_parent_dir=os.path.join(td, "QA") + "/",
+            dataset_config={"dataset_files_divisions": {"test": n_images}},
+            eval_set="test", eval_batch_size=120,
+            save_path=os.path.join(td, "results"))
+        model = CRCTModel(config=CRCTModelConfig(dtype="bfloat16"),
+                          categories=params["categories"])
+
+        def qa_pass():
+            ds = ChartQADataset(params, ["test"], init_split="test")
+            ds.get_all_answers = True
+            loader = DataLoader(ds, batch_size=4, shuffle=False,
+                                drop_last=False, num_workers=1)
+            from crct_tpu.train.eval_loop import (_chunk_rows,
+                                                  _flatten_valid_rows)
+            sample = next(iter(loader))
+            rows, _ = _flatten_valid_rows(sample)
+            chunked, _ = next(_chunk_rows(rows, params["eval_batch_size"]))
+            if not hasattr(qa_pass, "params"):
+                import functools
+                variables = jax.jit(functools.partial(
+                    model.init, train=False))({"params": jax.random.key(1)},
+                                              chunked)
+                qa_pass.params = variables["params"]
+            return evaluate(loader, ds, params, model, qa_pass.params,
+                            csv=False, log_print=lambda m: None)
+
+        extract_pass()                  # compile pass (detector jits once)
+        qa_pass()                       # compile pass (eval step jits)
+        t0 = time.perf_counter()
+        extract_pass()
+        qa_pass()
+        dt = time.perf_counter() - t0
+        return {"e2e_charts_per_sec_per_chip":
+                round(n_images / dt / n_chips, 3)}
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+def main(pallas: bool = False, include_e2e: bool = False) -> None:
     import jax
     import optax
     from __graft_entry__ import _synthetic_step_batch
@@ -78,15 +227,21 @@ def main(pallas: bool = False) -> None:
     dt = time.perf_counter() - t0
 
     qa_pairs_per_sec_per_chip = B * MEASURE_STEPS / dt / n_chips
+
+    aux = {"attention_path": "pallas" if pallas else "xla"}
+    aux.update(bench_eval(model, params, np.random.default_rng(1), n_chips))
+    if include_e2e:
+        aux.update(bench_e2e_charts(n_chips))
     print(json.dumps({
         "metric": "train QA-pairs/sec/chip (batch 80, bf16, full CRCT)",
         "value": round(qa_pairs_per_sec_per_chip, 2),
         "unit": "qa_pairs/s/chip",
         "vs_baseline": round(
             qa_pairs_per_sec_per_chip / BASELINE_QA_PAIRS_PER_SEC_PER_GPU, 3),
+        "aux": aux,
     }))
 
 
 if __name__ == "__main__":
     import sys
-    main(pallas="--pallas" in sys.argv)
+    main(pallas="--pallas" in sys.argv, include_e2e="--all" in sys.argv)

@@ -36,15 +36,21 @@ def main(argv=None):
     p.add_argument("--max-boxes", type=int, default=100)
     p.add_argument("--image-size", type=int, default=1344)
     p.add_argument("--checkpoint-every", type=int, default=5000)
-    p.add_argument("--load-weights", default="")
+    p.add_argument("--load-weights", default="",
+                   help="crct_tpu detector ckpt, torch .pth, or Detectron2 "
+                        "model-zoo .pkl (e.g. mask_rcnn_R_50_FPN_1x, the "
+                        "reference's default init, frcnn.py:215)")
+    p.add_argument("--freeze-at", type=int, default=None,
+                   help="freeze backbone through this stage (1=stem, "
+                        "2=res2...); default 2 when fine-tuning from "
+                        "--load-weights (reference FREEZE_AT), else 0")
     p.add_argument("--test", action="store_true", help="evaluation only")
     p.add_argument("--eval-images", type=int, default=0)
     args = p.parse_args(argv)
 
     from crct_tpu.detector.coco import CocoDataset
     from crct_tpu.detector.trainer import DetectorTrainer, coco_evaluate
-    from crct_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, \
-        transfer_params
+    from crct_tpu.utils.checkpoint import save_checkpoint
 
     with_mask = args.dataset == "plotqa"
     depth = 101 if args.dataset == "figure_qa" else 50
@@ -53,16 +59,23 @@ def main(argv=None):
                      with_masks=with_mask)
     print(f"{len(ds)} images, {len(ds.categories)} classes")
 
+    # Detectron2 model-zoo weights need the Caffe2 stride-in-1x1 blocks
+    stride_in_1x1 = bool(args.load_weights) and args.load_weights.endswith(
+        (".pkl", ".pth", ".bin"))
+    freeze_at = args.freeze_at
+    if freeze_at is None:
+        freeze_at = 2 if args.load_weights else 0
     trainer = DetectorTrainer(ds, num_classes=len(ds.categories),
                               with_mask=with_mask, depth=depth,
                               batch_size=args.batch_size,
-                              base_lr=args.base_lr)
+                              base_lr=args.base_lr,
+                              stride_in_1x1=stride_in_1x1,
+                              freeze_at=freeze_at)
     if args.load_weights:
         import jax
-        loaded = load_checkpoint(args.load_weights)
-        trainer.params, _ = transfer_params(
-            jax.device_get(trainer.params),
-            loaded.get("model_state_dict", loaded))
+        from crct_tpu.detector.convert import restore_detector_params
+        trainer.params, _ = restore_detector_params(
+            jax.device_get(trainer.params), args.load_weights)
 
     if args.test:
         metrics = coco_evaluate(trainer.model, trainer.params, ds,

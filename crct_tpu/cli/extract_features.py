@@ -46,7 +46,6 @@ def main(argv=None):
                                            inject_img_token, path_to_img_id,
                                            sorted_image_files)
     from crct_tpu.detector.mask_rcnn import MaskRCNN
-    from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
 
     ann_path = os.path.join(args.dir_path, args.split, "annotations.json")
     gt_ann = None
@@ -55,9 +54,11 @@ def main(argv=None):
         with open(ann_path) as f:
             gt_ann = json.load(f)
 
+    stride_in_1x1 = args.load_weights.endswith((".pkl", ".pth", ".bin"))
     model = MaskRCNN(num_classes=args.num_classes,
                      with_mask=args.dataset == "plotqa",
-                     depth=101 if args.dataset == "figure_qa" else 50)
+                     depth=101 if args.dataset == "figure_qa" else 50,
+                     stride_in_1x1=stride_in_1x1)
 
     @jax.jit
     def detect(params, image):
@@ -72,8 +73,9 @@ def main(argv=None):
     variables = jax.jit(lambda r: model.init(r, dummy, train=False))(
         jax.random.key(0))
     params = variables["params"]
-    loaded = load_checkpoint(args.load_weights)
-    params, _ = transfer_params(params, loaded.get("model_state_dict", loaded))
+    if args.load_weights != "none":     # "none": random init (smoke/bench)
+        from crct_tpu.detector.convert import restore_detector_params
+        params, _ = restore_detector_params(params, args.load_weights)
 
     ocr_mode = "ocr" if args.OCR else ("gt" if args.ocr_gt else "oracle")
     png_dir = os.path.join(args.dir_path, args.split, "png")

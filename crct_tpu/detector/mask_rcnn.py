@@ -39,9 +39,12 @@ class MaskRCNN(nn.Module):
     post_nms_topk_test: int = 512
     roi_batch: int = 256            # sampled proposals per image (train)
     dtype: Any = jnp.float32
+    stride_in_1x1: bool = False     # True for Detectron2 model-zoo weights
+    freeze_at: int = 0              # reference fine-tune default: 2
 
     def setup(self):
-        self.backbone = ResNet(self.depth, self.dtype)
+        self.backbone = ResNet(self.depth, self.dtype, self.stride_in_1x1,
+                               self.freeze_at)
         self.fpn = FPN(256, self.dtype)
         self.rpn_head = RPNHead(dtype=self.dtype)
         self.box_head = BoxHead(self.fc_dim, self.dtype)

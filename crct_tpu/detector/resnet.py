@@ -14,7 +14,8 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-BLOCKS_PER_STAGE = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+BLOCKS_PER_STAGE = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                    14: (1, 1, 1, 1)}  # tiny trunk for tests
 
 
 class FrozenBN(nn.Module):
@@ -34,24 +35,31 @@ class FrozenBN(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 bottleneck with projection shortcut when needed."""
+    """1x1 -> 3x3 -> 1x1 bottleneck with projection shortcut when needed.
+
+    ``stride_in_1x1``: Detectron2's model-zoo ResNets (Caffe2 heritage,
+    STRIDE_IN_1X1=True) put the stride-2 on the first 1x1 conv; torchvision
+    puts it on the 3x3. Must match the pretrained weights' convention."""
     filters: int            # bottleneck width; output is 4 * filters
     stride: int = 1
     dtype: Any = jnp.float32
+    stride_in_1x1: bool = False
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.filters * 4
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s3 = 1 if self.stride_in_1x1 else self.stride
         shortcut = x
         if x.shape[-1] != out_ch or self.stride != 1:
             shortcut = nn.Conv(out_ch, (1, 1), (self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                name="shortcut")(x)
             shortcut = FrozenBN(out_ch, name="shortcut_bn")(shortcut)
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = nn.Conv(self.filters, (1, 1), (s1, s1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.relu(FrozenBN(self.filters, name="bn1")(y))
-        y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride),
+        y = nn.Conv(self.filters, (3, 3), (s3, s3),
                     padding=1, use_bias=False, dtype=self.dtype,
                     name="conv2")(y)
         y = nn.relu(FrozenBN(self.filters, name="bn2")(y))
@@ -62,23 +70,35 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Returns the C2..C5 stage outputs (strides 4, 8, 16, 32)."""
+    """Returns the C2..C5 stage outputs (strides 4, 8, 16, 32).
+
+    ``freeze_at``: Detectron2 semantics (reference default FREEZE_AT=2,
+    i.e. stem + res2 frozen when fine-tuning from the model zoo) — a
+    stop_gradient at the boundary keeps all earlier params fixed."""
     depth: int = 50
     dtype: Any = jnp.float32
+    stride_in_1x1: bool = False
+    freeze_at: int = 0
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        import jax
         blocks = BLOCKS_PER_STAGE[self.depth]
         y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
         y = nn.relu(FrozenBN(64, name="stem_bn")(y))
         y = nn.max_pool(y, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        if self.freeze_at == 1:
+            y = jax.lax.stop_gradient(y)
         outs = []
         for stage, (n_blocks, filters) in enumerate(
                 zip(blocks, (64, 128, 256, 512))):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 y = Bottleneck(filters, stride, self.dtype,
+                               self.stride_in_1x1,
                                name=f"stage{stage + 2}_block{b}")(y)
+            if self.freeze_at == stage + 2:
+                y = jax.lax.stop_gradient(y)
             outs.append(y)
         return tuple(outs)  # C2, C3, C4, C5

@@ -71,7 +71,8 @@ class DetectorTrainer:
     def __init__(self, dataset, *, num_classes: int, with_mask: bool = True,
                  depth: int = 50, batch_size: int = 2, base_lr: float = 2.5e-4,
                  seed: int = 0, roi_batch: int = 256,
-                 post_nms_topk: int = 512, batch_multiply: int = 1):
+                 post_nms_topk: int = 512, batch_multiply: int = 1,
+                 stride_in_1x1: bool = False, freeze_at: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         # mesh size must divide the image batch
@@ -81,7 +82,9 @@ class DetectorTrainer:
         self.model = MaskRCNN(num_classes=num_classes, depth=depth,
                               with_mask=with_mask, roi_batch=roi_batch,
                               post_nms_topk_train=post_nms_topk,
-                              post_nms_topk_test=post_nms_topk)
+                              post_nms_topk_test=post_nms_topk,
+                              stride_in_1x1=stride_in_1x1,
+                              freeze_at=freeze_at)
         sample = dataset[0]
         init = jax.jit(partial(self._init_fn, sample))(jax.random.key(seed))
         self.params = init

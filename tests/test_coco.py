@@ -106,7 +106,7 @@ def test_detector_trainer_smoke(tmp_path):
     ann, img_dir = make_coco_fixture(tmp_path, n_images=2, size=64)
     ds = CocoDataset(ann, img_dir, max_boxes=8, short_edge=64, max_size=64,
                      with_masks=True)
-    trainer = DetectorTrainer(ds, num_classes=3, with_mask=True,
+    trainer = DetectorTrainer(ds, num_classes=3, with_mask=True, depth=14,
                               batch_size=2, roi_batch=16, post_nms_topk=16)
     batch = {k: np.stack([ds[i][k] for i in range(2)])
              for k in ("image", "gt_boxes", "gt_classes", "gt_valid",

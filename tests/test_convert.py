@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from crct_tpu.models.crct import CRCTModel
 from crct_tpu.utils.convert import convert_torch_state_dict, inverse_convert
@@ -125,3 +126,26 @@ def test_hf_bert_import_maps_text_stream():
     np.testing.assert_array_equal(
         merged["bert"]["v_embeddings"]["color_emb"]["embedding"],
         params["bert"]["v_embeddings"]["color_emb"]["embedding"])
+
+
+def test_hf_hub_acquisition_path(monkeypatch):
+    """import_bert's hf:<name> path: a transformers BertModel's state dict
+    (built locally — no network) maps onto the text stream, mirroring the
+    reference's bert-base-uncased download+remap (vilbert.py:1112-1285)."""
+    transformers = pytest.importorskip("transformers")
+    tiny = transformers.BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64)
+    local = transformers.BertModel(tiny)
+    monkeypatch.setattr(transformers.AutoModel, "from_pretrained",
+                        staticmethod(lambda name: local))
+    from crct_tpu.cli.import_bert import hf_state_dict
+    from crct_tpu.utils.convert import convert_torch_state_dict
+    sd = hf_state_dict("bert-base-uncased")
+    tree, skipped = convert_torch_state_dict(sd)
+    emb = tree["bert"]["embeddings"]
+    assert emb["word_embeddings"]["embedding"].shape == (128, 32)
+    enc = tree["bert"]["encoder"]
+    assert "t_layer_0" in enc and "t_layer_1" in enc
+    assert enc["t_layer_0"]["attention"]["query"]["kernel"].shape == (32, 32)

@@ -1,0 +1,251 @@
+"""Detector pretrained-weight importer parity tests.
+
+A torch ResNet-50 with torchvision module names (and a Detectron2-renamed
+variant, incl. the Caffe2 stride-in-1x1 convention) is random-initialized
+with random BatchNorm running stats; the converter maps its state_dict into
+the flax tree and the C2..C5 feature maps must match numerically — pinning
+the conv OIHW->HWIO transpose, FrozenBN stat folding, stride placement,
+padding and maxpool semantics. Reference init path: Detector/frcnn.py:215
+(Detectron2 model zoo mask_rcnn_R_50_FPN_1x).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from crct_tpu.detector.convert import (_fc1_kernel_from_torch,
+                                       convert_detector_state_dict,
+                                       restore_detector_params)
+from crct_tpu.detector.resnet import ResNet
+from crct_tpu.utils.checkpoint import transfer_params
+
+BLOCKS = (3, 4, 6, 3)
+
+
+class TorchBottleneck(tnn.Module):
+    def __init__(self, cin, width, stride, stride_in_1x1):
+        super().__init__()
+        s1, s3 = (stride, 1) if stride_in_1x1 else (1, stride)
+        self.conv1 = tnn.Conv2d(cin, width, 1, s1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, s3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, width * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(width * 4)
+        self.downsample = None
+        if cin != width * 4 or stride != 1:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, width * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(width * 4))
+
+    def forward(self, x):
+        s = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return torch.relu(y + s)
+
+
+class TorchResNet50(tnn.Module):
+    """torchvision-named ResNet-50 trunk returning C2..C5."""
+
+    def __init__(self, stride_in_1x1=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, padding=1)
+        cin = 64
+        for li, (n, width) in enumerate(zip(BLOCKS, (64, 128, 256, 512))):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (b == 0 and li > 0) else 1
+                blocks.append(TorchBottleneck(cin, width, stride,
+                                              stride_in_1x1))
+                cin = width * 4
+            setattr(self, f"layer{li + 1}", tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        y = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        outs = []
+        for li in range(4):
+            y = getattr(self, f"layer{li + 1}")(y)
+            outs.append(y)
+        return outs
+
+
+def randomize_bn_stats(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.randn(m.num_features, generator=g)
+                                     * 0.1)
+                m.running_var.copy_(torch.rand(m.num_features, generator=g)
+                                    * 1.5 + 0.5)
+                m.weight.copy_(torch.randn(m.num_features, generator=g) * 0.2
+                               + 1.0)
+                m.bias.copy_(torch.randn(m.num_features, generator=g) * 0.1)
+
+
+def tv_to_d2_keys(sd):
+    """torchvision names -> Detectron2 model-zoo names."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("conv1."):
+            out["backbone.bottom_up.stem.conv1." + k.split(".", 1)[1]] = v
+        elif k.startswith("bn1."):
+            out["backbone.bottom_up.stem.conv1.norm." + k.split(".", 1)[1]] = v
+        else:
+            # layerL.B.convI / bnI / downsample.{0,1}
+            parts = k.split(".")
+            stage = f"res{int(parts[0][-1]) + 1}"
+            block = parts[1]
+            rest = parts[2:]
+            if rest[0].startswith("conv"):
+                name = f"{rest[0]}.{rest[1]}"
+            elif rest[0].startswith("bn"):
+                name = f"conv{rest[0][-1]}.norm.{rest[1]}"
+            elif rest[:2] == ["downsample", "0"]:
+                name = f"shortcut.{rest[2]}"
+            else:
+                name = f"shortcut.norm.{rest[2]}"
+            out[f"backbone.bottom_up.{stage}.{block}.{name}"] = v
+    return out
+
+
+@pytest.mark.parametrize("layout,stride_in_1x1",
+                         [("torchvision", False), ("detectron2", True),
+                          ("detectron2", False)])
+def test_resnet50_feature_map_parity(layout, stride_in_1x1):
+    torch.manual_seed(3)
+    tm = TorchResNet50(stride_in_1x1=stride_in_1x1).eval()
+    randomize_bn_stats(tm)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    if layout == "detectron2":
+        sd = tv_to_d2_keys(sd)
+    tree, skipped, meta = convert_detector_state_dict(sd)
+    assert not skipped, skipped[:5]
+    assert meta["stride_in_1x1"] == (layout == "detectron2")
+
+    g = np.random.default_rng(4)
+    img = g.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    model = ResNet(50, stride_in_1x1=stride_in_1x1)
+    # converted tree must exactly cover the flax structure
+    want_tree = jax.eval_shape(lambda: model.init(jax.random.key(0),
+                                                  jnp.asarray(img)))
+    got = model.apply({"params": tree["backbone"]}, jnp.asarray(img))
+    del want_tree
+    with torch.no_grad():
+        want = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    for c_flax, c_torch in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(c_flax), c_torch.numpy().transpose(0, 2, 3, 1),
+            atol=1e-3, rtol=1e-3)
+
+
+def test_fc1_input_permutation():
+    """torch flattens RoI features (C,H,W); flax (H,W,C) — the converted
+    fc1 kernel must produce identical outputs on identical features."""
+    g = np.random.default_rng(5)
+    pooled_hwc = g.normal(size=(2, 7, 7, 256)).astype(np.float32)
+    w = g.normal(size=(1024, 256 * 7 * 7)).astype(np.float32) * 0.01
+    want = pooled_hwc.transpose(0, 3, 1, 2).reshape(2, -1) @ w.T
+    kernel = _fc1_kernel_from_torch(w)
+    got = pooled_hwc.reshape(2, -1) @ kernel
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_full_detectron2_maskrcnn_transfer():
+    """A synthetic full Detectron2 state dict (COCO 80-class heads) maps
+    onto MaskRCNN: backbone/FPN/RPN/box_head transfer; the class-dependent
+    predictor/mask-predictor heads are skipped on shape mismatch, like the
+    reference's fine-tune from the zoo."""
+    from crct_tpu.detector.mask_rcnn import MaskRCNN
+
+    torch.manual_seed(6)
+    tm = TorchResNet50(stride_in_1x1=True).eval()
+    sd = tv_to_d2_keys({k: v.detach().numpy()
+                        for k, v in tm.state_dict().items()})
+    g = np.random.default_rng(7)
+
+    def conv(name, cin, cout, k):
+        sd[f"{name}.weight"] = g.normal(size=(cout, cin, k, k)).astype(np.float32)
+        sd[f"{name}.bias"] = g.normal(size=(cout,)).astype(np.float32)
+
+    for lvl, cin in zip(range(2, 6), (256, 512, 1024, 2048)):
+        conv(f"backbone.fpn_lateral{lvl}", cin, 256, 1)
+        conv(f"backbone.fpn_output{lvl}", 256, 256, 3)
+    conv("proposal_generator.rpn_head.conv", 256, 256, 3)
+    conv("proposal_generator.rpn_head.objectness_logits", 256, 3, 1)
+    conv("proposal_generator.rpn_head.anchor_deltas", 256, 12, 1)
+    sd["roi_heads.box_head.fc1.weight"] = g.normal(
+        size=(1024, 256 * 49)).astype(np.float32)
+    sd["roi_heads.box_head.fc1.bias"] = g.normal(size=(1024,)).astype(np.float32)
+    sd["roi_heads.box_head.fc2.weight"] = g.normal(
+        size=(1024, 1024)).astype(np.float32)
+    sd["roi_heads.box_head.fc2.bias"] = g.normal(size=(1024,)).astype(np.float32)
+    # COCO heads: 80 classes (81 with background)
+    sd["roi_heads.box_predictor.cls_score.weight"] = g.normal(
+        size=(81, 1024)).astype(np.float32)
+    sd["roi_heads.box_predictor.cls_score.bias"] = g.normal(
+        size=(81,)).astype(np.float32)
+    sd["roi_heads.box_predictor.bbox_pred.weight"] = g.normal(
+        size=(320, 1024)).astype(np.float32)
+    sd["roi_heads.box_predictor.bbox_pred.bias"] = g.normal(
+        size=(320,)).astype(np.float32)
+    for i in range(1, 5):
+        conv(f"roi_heads.mask_head.mask_fcn{i}", 256, 256, 3)
+    sd["roi_heads.mask_head.deconv.weight"] = g.normal(
+        size=(256, 256, 2, 2)).astype(np.float32)
+    sd["roi_heads.mask_head.deconv.bias"] = g.normal(size=(256,)).astype(np.float32)
+    conv("roi_heads.mask_head.predictor", 256, 80, 1)
+
+    tree, skipped, meta = convert_detector_state_dict(sd)
+    assert not skipped
+    assert meta["stride_in_1x1"]
+
+    model = MaskRCNN(num_classes=16, with_mask=True, stride_in_1x1=True,
+                     post_nms_topk_test=32)
+    dummy = jnp.zeros((64, 64, 3), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), dummy, train=False))
+    init = jax.tree.map(lambda x: np.zeros(x.shape, x.dtype),
+                        variables["params"])
+    merged, n = transfer_params(init, tree, verbose=False)
+    # everything but the 16-class predictor + mask predictor transfers
+    flat = {jax.tree_util.keystr(p): v for p, v in
+            jax.tree_util.tree_flatten_with_path(merged)[0]}
+    assert np.any(flat["['backbone']['stem_conv']['kernel']"] != 0)
+    assert np.any(flat["['box_head']['fc1']['kernel']"] != 0)
+    assert np.any(flat["['rpn_head']['conv']['kernel']"] != 0)
+    assert np.any(flat["['mask_head']['deconv']['kernel']"] != 0)
+    # class-count-dependent heads skipped (shapes differ: 81 vs 17, 80 vs 16)
+    assert np.all(flat["['box_predictor']['cls_score']['kernel']"] == 0)
+    assert np.all(flat["['mask_head']['predictor']['kernel']"] == 0)
+
+
+def test_restore_detector_params_from_pth(tmp_path):
+    """--load-weights with a torch .pth file end-to-end."""
+    torch.manual_seed(8)
+    tm = TorchResNet50(stride_in_1x1=False).eval()
+    randomize_bn_stats(tm, seed=1)
+    path = tmp_path / "r50.pth"
+    torch.save({"state_dict": tm.state_dict()}, path)
+
+    model = ResNet(50)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), img)
+    params, meta = restore_detector_params(
+        {"backbone": variables["params"]}, str(path), verbose=False)
+    assert meta["stride_in_1x1"] is False
+    got = model.apply({"params": params["backbone"]}, img)
+    with torch.no_grad():
+        want = tm(torch.zeros(1, 3, 64, 64))
+    np.testing.assert_allclose(np.asarray(got[-1]),
+                               want[-1].numpy().transpose(0, 2, 3, 1),
+                               atol=1e-3, rtol=1e-3)

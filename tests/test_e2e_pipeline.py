@@ -46,7 +46,7 @@ def test_full_pipeline_png_to_answer(png_env, tmp_path):
     """
     feat_dim = 64
     detector = MaskRCNN(num_classes=16, with_mask=False, fc_dim=feat_dim,
-                        post_nms_topk_test=32)
+                        post_nms_topk_test=32, depth=14)
     IMG_SIZE = 256
 
     @jax.jit

@@ -54,7 +54,7 @@ def test_sample_fixed_shapes_and_quota():
 
 @pytest.fixture(scope="module")
 def tiny_detector():
-    model = MaskRCNN(num_classes=5, depth=50, with_mask=True,
+    model = MaskRCNN(num_classes=5, depth=14, with_mask=True,
                      post_nms_topk_train=32, post_nms_topk_test=16,
                      roi_batch=16, fc_dim=64)
     image = jnp.asarray(np.random.default_rng(0).random((64, 64, 3)),
