@@ -61,6 +61,41 @@ def bench_eval(model, params, rng, n_chips: int) -> dict:
     }
 
 
+def bench_fast_scorer(cfg, rng, n_chips: int) -> dict:
+    """Opt-in fast-scorer eval throughput: one backbone pass per question
+    + the light candidate head (vs 120 backbone passes in the reference
+    protocol). Random weights — a pure throughput number."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _synthetic_step_batch
+    from crct_tpu.models.crct import CRCTModel
+    from crct_tpu.train.eval_loop import FAST_CAND_TOKENS, make_fast_eval_step
+
+    B, C = 64, 120
+    model = CRCTModel(config=cfg, categories=228, fast_scorer=True)
+    rows = _synthetic_step_batch(rng, B=B, L=124, R=44, vdim=1024,
+                                 vocab=30522, cats=228)
+    rows.pop("next_sentence_labels")
+    rows["attention_mask"] = jnp.ones((B, 124), jnp.float32)
+    rows["cand_tokens"] = jnp.asarray(
+        rng.integers(1, 30522, (B, C, FAST_CAND_TOKENS)), jnp.int32)
+    rows["cand_valid"] = jnp.ones((B, C), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(3)}, rows)
+    step = make_fast_eval_step(model)
+    out = step(variables["params"], rows)
+    np.asarray(out[0])
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        out = step(variables["params"], rows)
+    np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    qps = B * MEASURE_STEPS / dt / n_chips
+    return {"fast_scorer_questions_per_sec_per_chip": round(qps, 2)}
+
+
 def bench_e2e_charts(n_chips: int) -> dict:
     """End-to-end charts/sec: chart PNG -> Mask R-CNN R50-FPN detection ->
     feature extraction (<IMG> token, GT-text oracle, axes normalization) ->
@@ -230,6 +265,7 @@ def main(pallas: bool = False, include_e2e: bool = False) -> None:
 
     aux = {"attention_path": "pallas" if pallas else "xla"}
     aux.update(bench_eval(model, params, np.random.default_rng(1), n_chips))
+    aux.update(bench_fast_scorer(cfg, np.random.default_rng(2), n_chips))
     if include_e2e:
         aux.update(bench_e2e_charts(n_chips))
     print(json.dumps({

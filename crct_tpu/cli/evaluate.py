@@ -32,7 +32,13 @@ def load_eval_model(params, sample_batch):
     from crct_tpu.train.train_loop import device_batch
     import functools
     model = build_model(params)
-    init_batch = jax.tree.map(jnp.asarray, device_batch(sample_batch))
+    if params.get("fast_scorer"):
+        # fast rows carry cand_tokens/cand_valid/attention_mask, which
+        # device_batch's STEP_KEYS filter would drop (the head would never
+        # be initialized)
+        init_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+    else:
+        init_batch = jax.tree.map(jnp.asarray, device_batch(sample_batch))
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.key(0)}, init_batch)
     model_params = variables["params"]
@@ -72,9 +78,14 @@ def main(argv=None):
                         shard_index=jax.process_index())
     sample = next(iter(DataLoader(dataset, batch_size=1, shuffle=False,
                                   num_workers=1, drop_last=False)))
-    # the eval step consumes flattened candidate rows
-    from crct_tpu.train.eval_loop import _flatten_valid_rows, _chunk_rows
-    rows, _ = _flatten_valid_rows(sample)
+    # the eval step consumes flattened candidate rows (or per-question rows
+    # with candidate tokens in -fast_scorer mode)
+    from crct_tpu.train.eval_loop import (_chunk_rows, _flatten_valid_rows,
+                                          build_fast_rows)
+    if params.get("fast_scorer"):
+        rows = build_fast_rows(sample)
+    else:
+        rows, _ = _flatten_valid_rows(sample)
     chunked, _ = next(_chunk_rows(rows, max(1, params["eval_batch_size"])))
     model, model_params = load_eval_model(params, chunked)
 

@@ -192,6 +192,15 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
                         help='data-parallel mesh size, e.g. "8" (default: all devices)')
     parser.add_argument('-profile', action='store_true',
                         help='capture a jax.profiler trace of train steps 10-15')
+    parser.add_argument('-fs_steps', type=int, default=2000,
+                        help='fast-scorer head training steps')
+    parser.add_argument('-fs_lr', type=float, default=1e-3,
+                        help='fast-scorer head learning rate')
+    parser.add_argument('-fast_scorer', action='store_true',
+                        help='opt-in light candidate scorer: one backbone '
+                             'pass per question at eval instead of the '
+                             'x120 candidate fan-out (train the head first '
+                             'with cli.train -fast_scorer)')
     parser.add_argument('-rng_impl', type=str, default='rbg',
                         choices=['rbg', 'threefry2x32'],
                         help='dropout PRNG (rbg is ~40%% faster on TPU)')
@@ -261,6 +270,7 @@ def default_params(**overrides: Any) -> Dict[str, Any]:
         dataset_config={}, max_vis_features=44, splits=['train', 'val', 'test'],
         dvqa_floats=list(DVQA_FLOATS), vocab_file='', bf16=False, pallas=False,
         mesh_shape='', dist_url='', profile=False, rng_impl='rbg',
+        fast_scorer=False, fs_steps=2000, fs_lr=1e-3,
     )
     params['continue'] = False
     params.update(overrides)

@@ -44,6 +44,7 @@ class CRCTOutputs:
     needs_reg: jnp.ndarray         # [B] bool
     nsp_loss: Optional[jnp.ndarray] = None   # scalar (train)
     loss: Optional[jnp.ndarray] = None       # scalar combined (train)
+    cand_logits: Optional[jnp.ndarray] = None  # [B, C] fast-scorer scores
 
 
 class CRCTModel(nn.Module):
@@ -55,6 +56,7 @@ class CRCTModel(nn.Module):
     use_l1: bool = False          # -L1 flag (options.py:32)
     ce_reg: bool = False          # -CE_REG flag
     binary_answers: bool = False
+    fast_scorer: bool = False     # -fast_scorer: light candidate head
     tol_margin: float = 0.01
     nsp_loss_coeff: float = 1.0
     reg_loss_coeff: float = 1.0
@@ -98,6 +100,17 @@ class CRCTModel(nn.Module):
 
         nsp_logits = PreTrainingHeads(cfg, dtype, name="cls")(
             t_pooled, v_pooled, deterministic=det).astype(jnp.float32)
+
+        # ---- opt-in fast candidate scorer (one backbone pass/question) --
+        cand_logits = None
+        if self.fast_scorer and "cand_tokens" in batch:
+            from crct_tpu.models.fast_scorer import FastScorer
+            fused = (t_pooled + v_pooled if cfg.fusion_method == "sum"
+                     else t_pooled * v_pooled)
+            cand_logits = FastScorer(cfg.vocab_size, dtype=dtype,
+                                     name="fast_scorer")(
+                fused, batch["cand_tokens"].astype(jnp.int32),
+                batch["cand_valid"])
 
         # ---- regression (always computed; masked by needs_reg) ----------
         R = batch["R"].astype(jnp.float32)            # [B, 4]
@@ -190,7 +203,8 @@ class CRCTModel(nn.Module):
                            reg_loss=reg_loss, reg_l1=reg_l1,
                            reg_5_dist=reg_5_dist, correct_regs=correct_regs,
                            correct_t_regs=correct_t_regs, needs_reg=needs_reg,
-                           nsp_loss=nsp_loss, loss=loss)
+                           nsp_loss=nsp_loss, loss=loss,
+                           cand_logits=cand_logits)
 
 
 def build_model(params: Dict[str, Any],
@@ -213,6 +227,7 @@ def build_model(params: Dict[str, Any],
         use_l1=params.get("L1", False),
         ce_reg=params.get("CE_REG", False),
         binary_answers=params.get("binary_answers", False),
+        fast_scorer=params.get("fast_scorer", False),
         tol_margin=params.get("tol_margin", 0.01),
         nsp_loss_coeff=params.get("nsp_loss_coeff", 1.0),
         reg_loss_coeff=params.get("reg_loss_coeff", 1.0),

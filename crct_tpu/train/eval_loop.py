@@ -69,6 +69,61 @@ ROW_KEYS = ["tokens", "segments", "loc", "sep_indices", "hist_len",
             "image_feat", "image_loc", "image_mask", "image_target", "R",
             "area"]
 
+FAST_CAND_TOKENS = 8        # max WordPiece tokens per candidate answer
+
+
+def make_fast_eval_step(model: CRCTModel):
+    """Compiled fast-scorer step over per-QUESTION rows: one backbone pass
+    per question (answer tokens masked from attention) + the light candidate
+    head. Returns (cand_logits[B,C], reg_output, reg_5_dist, reg_l1)."""
+
+    def eval_step(params, rows):
+        out = model.apply({"params": params}, rows, train=False)
+        return out.cand_logits, out.reg_output, out.reg_5_dist, out.reg_l1
+
+    return jax.jit(eval_step)
+
+
+def build_fast_rows(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Eval batch [B, P, ...] -> per-question rows for the fast scorer.
+
+    Row = candidate row 0 with answer tokens masked out of the attention
+    (the caption+question prefix is identical across a question's candidate
+    rows); cand_tokens[B, P, A] = each candidate's answer tokens (segment
+    type 1), cand_valid from num_ans."""
+    tokens = np.asarray(batch["tokens"])          # [B, P, L]
+    segments = np.asarray(batch["segments"])
+    B, P, L = tokens.shape
+    num_ans = np.asarray(batch["num_ans"]).reshape(-1)
+
+    rows: Dict[str, np.ndarray] = {}
+    for k in ROW_KEYS:
+        if k in batch:
+            rows[k] = np.asarray(batch[k])[:, 0]
+    if rows["hist_len"].ndim > 1:
+        rows["hist_len"] = rows["hist_len"].reshape(B, -1)[:, :1]
+
+    # attention cut at the first answer token of row 0
+    seq_len = np.take_along_axis(
+        rows["sep_indices"], rows["hist_len"].reshape(B, 1), axis=1)[:, 0] + 1
+    is_ans0 = segments[:, 0] == 1
+    ans_start = np.where(is_ans0.any(-1), is_ans0.argmax(-1), seq_len)
+    rows["attention_mask"] = (
+        np.arange(L)[None, :] < np.minimum(seq_len, ans_start)[:, None]
+    ).astype(np.float32)
+
+    # candidate answer tokens: stable-sort the answer positions first
+    is_ans = segments == 1                          # [B, P, L]
+    order = np.argsort(~is_ans, axis=-1, kind="stable")[..., :FAST_CAND_TOKENS]
+    cand = np.take_along_axis(tokens, order, axis=-1)
+    n_ans_tok = is_ans.sum(-1, keepdims=True)       # [B, P, 1]
+    cand = np.where(np.arange(FAST_CAND_TOKENS)[None, None, :] < n_ans_tok,
+                    cand, 0)
+    rows["cand_tokens"] = cand.astype(np.int64)
+    rows["cand_valid"] = (np.arange(P)[None, :]
+                          < num_ans[:, None]).astype(np.float32)
+    return rows
+
 
 def _flatten_valid_rows(batch: Dict[str, Any]) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
     """[B, P, ...] -> [N_valid, ...] keeping per-question row offsets.
@@ -270,7 +325,9 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     chunk = eval_batch_size or params.get("eval_batch_size", 10)
     chunk = max(chunk, 1)
     allreduce = allreduce or (lambda x: x)
-    eval_step = make_eval_step(model)
+    binary = params.get("binary_answers", False)
+    fast = bool(params.get("fast_scorer")) and not binary
+    eval_step = make_fast_eval_step(model) if fast else make_eval_step(model)
 
     breakdown = np.zeros((5, 4, 3, 3), np.float64)
     total_correct = np.zeros((6, 2), np.float64)
@@ -282,38 +339,41 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         except FileNotFoundError:
             pass
 
-    binary = params.get("binary_answers", False)
     inf_time = [0.0, 0]
+
+    def run_chunks(rows):
+        collected = None
+        for piece, valid in _chunk_rows(rows, chunk):
+            t0 = time.time()
+            outs = eval_step(model_params, piece)
+            if collected is None:
+                collected = [[] for _ in outs]
+            for acc, o in zip(collected, outs):
+                acc.append(np.asarray(o)[:valid])
+            inf_time[0] += time.time() - t0
+        return [np.concatenate(a) for a in collected]
 
     for batch in dataloader:
         ids = np.asarray(batch["id"]).reshape(-1)
         if ids.shape[0] == 0:
             continue
-        if binary:
-            rows = {k: np.asarray(batch[k]) for k in ROW_KEYS if k in batch}
-            offsets = np.arange(len(ids) + 1)
-        else:
-            rows, offsets = _flatten_valid_rows(batch)
-        nsp_list, reg_out_list, reg5_list, regl1_list = [], [], [], []
-        for piece, valid in _chunk_rows(rows, chunk):
-            t0 = time.time()
-            nsp, reg_out, reg5, regl1 = eval_step(model_params, piece)
-            nsp_list.append(np.asarray(nsp)[:valid])
-            reg_out_list.append(np.asarray(reg_out)[:valid])
-            reg5_list.append(np.asarray(reg5)[:valid])
-            regl1_list.append(np.asarray(regl1)[:valid])
-            inf_time[0] += time.time() - t0
-        inf_time[1] += len(ids)
-        nsp_probs = np.concatenate(nsp_list)
-        reg_out = np.concatenate(reg_out_list)
-        reg5 = np.concatenate(reg5_list)
-        regl1 = np.concatenate(regl1_list)
-
         needs_reg = np.asarray(batch["needs_reg"]).reshape(len(ids), -1)[:, 0]
         needs_reg = needs_reg.astype(bool)
         gt_id = np.asarray(batch["gt_id"]).reshape(-1)
 
-        if binary:
+        if fast:
+            # one backbone pass per question + light candidate head; the
+            # regression outputs come from the same answer-masked pass
+            cand_logits, ans_reg_out, ans_reg5, ans_regl1 = run_chunks(
+                build_fast_rows(batch))
+            if params.get("qa_file") and "_REGS" in params["qa_file"]:
+                answers_idx = gt_id.astype(np.int64)
+            else:
+                answers_idx = np.argmax(cand_logits, axis=-1)
+            nsp_right = answers_idx == gt_id
+        elif binary:
+            rows = {k: np.asarray(batch[k]) for k in ROW_KEYS if k in batch}
+            nsp_probs, reg_out, reg5, regl1 = run_chunks(rows)
             answers = np.round(nsp_probs).astype(np.int64)
             labels = np.asarray(batch["next_sentence_labels"]).reshape(-1)
             nsp_right = answers == (1 - labels)
@@ -322,6 +382,8 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_reg_out = np.zeros(len(ids))
             answers_idx = answers
         else:
+            rows, offsets = _flatten_valid_rows(batch)
+            nsp_probs, reg_out, reg5, regl1 = run_chunks(rows)
             # vectorized per-question (segmented) argmax over candidate NSP
             # probs — replaces the reference's per-question Python loop
             # (evaluation.py:287-296); first-max tie-breaking preserved
@@ -335,6 +397,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_regl1 = regl1[sel]
             ans_reg_out = reg_out[sel]
             nsp_right = answers_idx == gt_id
+        inf_time[1] += len(ids)
 
         tol = np.asarray(batch["tolerance_margin"]).reshape(len(ids), -1)[:, 0]
         reg_right = (ans_reg5 <= 0.05) & needs_reg

@@ -1,0 +1,114 @@
+"""Opt-in fast candidate scorer: one backbone pass per question.
+
+Covers: fast-row derivation from the standard eval batch, head training
+(listwise CE decreases with a frozen backbone), the fast evaluate() path
+end-to-end on synthetic data, and the measured accuracy delta vs the full
+x120 protocol (reported, not asserted — the head is trained for seconds on
+random synthetic data; the assertion is that both protocols run and count
+every question)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crct_tpu.data.dataset import ChartQADataset, DataLoader
+from crct_tpu.models.crct import CRCTModel
+from crct_tpu.train.eval_loop import build_fast_rows, evaluate
+from crct_tpu.train.fast_scorer_train import train_fast_scorer
+from tests.helpers import synthetic_params, tiny_model_config
+
+
+@pytest.fixture(scope="module")
+def fast_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fastdata")
+    params = synthetic_params(tmp, n_images=4, division=4, n_questions=3,
+                              feat_dim=32, eval_batch_size=16)
+    params["fast_scorer"] = True
+    ds = ChartQADataset(params, ["train", "val"])
+    ds.split = "val"
+    ds.get_all_answers = True
+    cfg = tiny_model_config(v_feature_size=32)
+    model = CRCTModel(config=cfg, categories=params["categories"],
+                      fast_scorer=True)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    sample = next(iter(loader))
+    rows = {k: jnp.asarray(v) for k, v in build_fast_rows(sample).items()}
+    variables = model.init({"params": jax.random.key(0)}, rows, train=False)
+    ds.get_all_answers = False
+    return params, ds, model, variables["params"]
+
+
+def test_build_fast_rows_shapes_and_masking(fast_env):
+    params, ds, model, mp = fast_env
+    ds.split = "val"
+    ds.get_all_answers = True
+    batch = next(iter(DataLoader(ds, batch_size=2, shuffle=False,
+                                 drop_last=False, num_workers=1)))
+    rows = build_fast_rows(batch)
+    B = len(np.asarray(batch["id"]).reshape(-1))
+    P = np.asarray(batch["tokens"]).shape[1]
+    assert rows["tokens"].shape == (B, params["max_seq_len"])
+    assert rows["cand_tokens"].shape == (B, P, 8)
+    assert rows["cand_valid"].shape == (B, P)
+    assert rows["cand_valid"].sum(-1).tolist() == \
+        np.asarray(batch["num_ans"]).reshape(-1).tolist()
+    # answer tokens excluded from the question encoding's attention
+    segs = np.asarray(batch["segments"])[:, 0]
+    ans = segs == 1
+    assert not (rows["attention_mask"].astype(bool) & ans).any()
+    # every valid candidate with answer tokens got non-zero cand tokens
+    num_ans = np.asarray(batch["num_ans"]).reshape(-1)
+    for q in range(B):
+        segq = np.asarray(batch["segments"])[q]
+        for c in range(int(num_ans[q])):
+            n_tok = int((segq[c] == 1).sum())
+            got = int((rows["cand_tokens"][q, c] > 0).sum())
+            assert got == min(n_tok, 8)
+    ds.get_all_answers = False
+
+
+def test_head_training_reduces_ce(fast_env):
+    params, ds, model, mp = fast_env
+    merged, last_ce = train_fast_scorer(
+        dict(params), ds, model, mp, steps=25, lr=3e-3, batch_questions=4,
+        log_print=lambda m: None)
+    assert "fast_scorer" in merged
+    # frozen backbone unchanged
+    assert np.allclose(np.asarray(jax.tree.leaves(merged["bert"])[0]),
+                       np.asarray(jax.tree.leaves(mp["bert"])[0]))
+    # CE moved below the uniform-over-candidates baseline
+    ds.split = "val"
+    ds.get_all_answers = True
+    batch = next(iter(DataLoader(ds, batch_size=4, shuffle=False,
+                                 drop_last=False, num_workers=1)))
+    uniform = float(np.mean(np.log(
+        np.asarray(batch["num_ans"]).reshape(-1).astype(float))))
+    assert last_ce is not None and last_ce < uniform
+    ds.get_all_answers = False
+
+
+def test_fast_eval_end_to_end_and_delta(fast_env, capsys):
+    params, ds, model, mp = fast_env
+    merged, _ = train_fast_scorer(
+        dict(params), ds, model, mp, steps=15, lr=3e-3, batch_questions=4,
+        log_print=lambda m: None)
+    ds.split = "val"
+    ds.get_all_answers = True
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    fast_total, _, _ = evaluate(loader, ds, dict(params), model, merged,
+                                csv=False, log_print=lambda m: None)
+    slow_params = dict(params)
+    slow_params["fast_scorer"] = False
+    slow_total, _, _ = evaluate(loader, ds, slow_params, model, merged,
+                                csv=False, log_print=lambda m: None)
+    # both protocols scored every question
+    assert fast_total[0, 1] == slow_total[0, 1] == len(ds)
+    assert np.isfinite(fast_total).all()
+    acc_fast = fast_total[4, 0] / fast_total[4, 1]
+    acc_slow = slow_total[4, 0] / slow_total[4, 1]
+    print(f"[fast-scorer] total acc fast={acc_fast:.3f} "
+          f"full-protocol={acc_slow:.3f} (delta {acc_fast - acc_slow:+.3f})")
+    ds.get_all_answers = False
