@@ -61,6 +61,48 @@ def bench_eval(model, params, rng, n_chips: int) -> dict:
     }
 
 
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def train_step_flops() -> float:
+    """Analytic train-step FLOPs (batch 80) from XLA's cost model, computed
+    by CPU-lowering the grad step in a subprocess (the axon backend returns
+    no pre-compile cost analysis). Anchors the throughput number to
+    hardware via MFU instead of only the estimated GPU baseline."""
+    import os
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import numpy as np, functools, jax.numpy as jnp\n"
+        "from __graft_entry__ import _synthetic_step_batch\n"
+        "from crct_tpu.config import CRCTModelConfig\n"
+        "from crct_tpu.models.crct import CRCTModel\n"
+        "cfg = CRCTModelConfig(dtype='bfloat16')\n"
+        "model = CRCTModel(config=cfg, categories=228)\n"
+        "b = _synthetic_step_batch(np.random.default_rng(0), B=80, L=124,"
+        " R=44, vdim=cfg.v_feature_size, vocab=cfg.vocab_size, cats=228)\n"
+        "def fwd(p, b):\n"
+        "    return model.apply({'params': p}, b, train=True,"
+        " rngs={'dropout': jax.random.key(0)}).loss\n"
+        "shapes = jax.eval_shape(functools.partial(model.init, train=True),"
+        " {'params': jax.random.key(0), 'dropout': jax.random.key(1)}, b)\n"
+        "params = jax.tree.map(lambda s: jax.ShapeDtypeStruct(s.shape,"
+        " s.dtype), shapes['params'])\n"
+        "low = jax.jit(jax.grad(fwd)).lower(params, jax.tree.map(lambda x:"
+        " jax.ShapeDtypeStruct(x.shape, x.dtype), b))\n"
+        "print('FLOPS', low.cost_analysis().get('flops'))\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=600)
+    for line in out.stdout.splitlines():
+        if line.startswith("FLOPS "):
+            return float(line.split()[1])
+    raise RuntimeError(out.stderr[-500:])
+
+
 def bench_fast_scorer(cfg, rng, n_chips: int) -> dict:
     """Opt-in fast-scorer eval throughput: one backbone pass per question
     + the light candidate head (vs 120 backbone passes in the reference
@@ -264,6 +306,16 @@ def main(pallas: bool = False, include_e2e: bool = False) -> None:
     qa_pairs_per_sec_per_chip = B * MEASURE_STEPS / dt / n_chips
 
     aux = {"attention_path": "pallas" if pallas else "xla"}
+    try:
+        flops = train_step_flops()
+        tflops_per_sec = flops * (qa_pairs_per_sec_per_chip / B) * n_chips / 1e12
+        aux["train_step_tflop"] = round(flops / 1e12, 3)
+        aux["train_step_ms"] = round(B / qa_pairs_per_sec_per_chip / n_chips
+                                     * 1000, 1)
+        aux["mfu_pct_v5e_bf16"] = round(
+            100.0 * tflops_per_sec / (V5E_PEAK_BF16_TFLOPS * n_chips), 1)
+    except Exception as e:
+        aux["mfu_error"] = str(e)[:200]
     aux.update(bench_eval(model, params, np.random.default_rng(1), n_chips))
     aux.update(bench_fast_scorer(cfg, np.random.default_rng(2), n_chips))
     if include_e2e:
