@@ -178,13 +178,16 @@ def bench_e2e_charts(n_chips: int) -> dict:
 
         import jax.numpy as jnp
 
-        @jax.jit
-        def detect(dparams, image):
+        def detect_one(dparams, image):
             out = detector.apply({"params": dparams}, image, train=False)
             full = jnp.asarray([[0.0, 0.0, IMG, IMG]])
             img_feat = detector.apply({"params": dparams}, image, full,
                                       method=MaskRCNN.extract_roi_features)
             return out, img_feat[0]
+
+        # all images in ONE vmapped device dispatch (like the extract CLI's
+        # --infer-batch): amortizes tunnel latency, fills the chip
+        detect_batch = jax.jit(jax.vmap(detect_one, in_axes=(None, 0)))
 
         dummy = jnp.zeros((IMG, IMG, 3), jnp.float32)
         dvars = jax.jit(lambda r: detector.init(r, dummy, train=False))(
@@ -196,21 +199,23 @@ def bench_e2e_charts(n_chips: int) -> dict:
         files = sorted_image_files(env["png_dir"])
 
         def extract_pass():
-            records = []
+            stack, sizes = [], []
             for img_path in files:
                 raw = np.asarray(Image.open(img_path).convert("RGB"),
                                  np.float32)
-                h, w = raw.shape[:2]
+                sizes.append(raw.shape[:2])
                 norm = (raw - PIXEL_MEAN) / PIXEL_STD
                 padded = np.zeros((IMG, IMG, 3), np.float32)
-                padded[:h, :w] = norm[:IMG, :IMG]
-                out, img_feat = detect(dparams, jnp.asarray(padded))
-                valid = np.asarray(out["valid"])
+                padded[:raw.shape[0], :raw.shape[1]] = norm[:IMG, :IMG]
+                stack.append(padded)
+            outs, img_feats = detect_batch(dparams, jnp.asarray(np.stack(stack)))
+            records = []
+            for j, (img_path, (h, w)) in enumerate(zip(files, sizes)):
+                out = jax.tree.map(lambda x: np.asarray(x[j]), outs)
+                valid = out["valid"]
                 feats, classes, boxes = inject_img_token(
-                    np.asarray(out["features"])[valid],
-                    np.asarray(out["classes"])[valid],
-                    np.asarray(out["boxes"])[valid],
-                    np.asarray(img_feat), (h, w))
+                    out["features"][valid], out["classes"][valid],
+                    out["boxes"][valid], np.asarray(img_feats[j]), (h, w))
                 image_id = path_to_img_id(img_path)
                 gt_texts = get_gt_texts(gt_ann[image_id], cls_dict, "plotqa")
                 records.append(build_feature_record(

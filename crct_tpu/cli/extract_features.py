@@ -36,6 +36,8 @@ def main(argv=None):
                    choices=['figure_qa', 'plotqa', 'dvqa'])
     p.add_argument('--num-classes', type=int, default=228)
     p.add_argument('--image-size', type=int, default=1344)
+    p.add_argument('--infer-batch', type=int, default=8,
+                   help="images per device dispatch (vmapped detector)")
     args = p.parse_args(argv)
 
     import jax
@@ -60,13 +62,17 @@ def main(argv=None):
                      depth=101 if args.dataset == "figure_qa" else 50,
                      stride_in_1x1=stride_in_1x1)
 
-    @jax.jit
-    def detect(params, image):
+    def detect_one(params, image):
         out = model.apply({"params": params}, image, train=False)
         full = jnp.asarray([[0.0, 0.0, image.shape[1], image.shape[0]]])
         img_feat = model.apply({"params": params}, image, full,
-                               method=MaskRCNN.extract_roi_features)
+                               method="extract_roi_features")
         return out, img_feat[0]
+
+    # batched inference: vmap over images, one device dispatch per
+    # --infer-batch (the reference runs Detectron2 image-by-image;
+    # batching amortizes dispatch latency and fills the chip)
+    detect_batch = jax.jit(jax.vmap(detect_one, in_axes=(None, 0)))
 
     # init + restore
     dummy = jnp.zeros((args.image_size, args.image_size, 3), jnp.float32)
@@ -88,17 +94,32 @@ def main(argv=None):
     _, cls_dict = get_nonvis_ids(args.dataset)
     from PIL import Image
     start = time.time()
+    IB = max(1, args.infer_batch)
     for k, (c_id, chunk_files) in enumerate(
             chunk_gen(files, args.batch_size, args.chunk)):
         records = []
+        raws, sizes = [], []
         for img_path in chunk_files:
             raw = np.asarray(Image.open(img_path).convert("RGB"), np.float32)
-            h, w = raw.shape[:2]
+            sizes.append(raw.shape[:2])
             norm = (raw - PIXEL_MEAN) / PIXEL_STD
             padded = np.zeros((args.image_size, args.image_size, 3),
                               np.float32)
-            padded[:h, :w] = norm[:args.image_size, :args.image_size]
-            out, img_feat = detect(params, jnp.asarray(padded))
+            padded[:raw.shape[0], :raw.shape[1]] = \
+                norm[:args.image_size, :args.image_size]
+            raws.append((padded, raw))
+        det_out = []
+        for s in range(0, len(raws), IB):
+            group = [p for p, _ in raws[s:s + IB]]
+            npad = IB - len(group)
+            stack = np.stack(group + [group[-1]] * npad)
+            out, img_feat = detect_batch(params, jnp.asarray(stack))
+            for j in range(len(group)):
+                det_out.append((
+                    jax.tree.map(lambda x: np.asarray(x[j]), out),
+                    np.asarray(img_feat[j])))
+        for (img_path, (h, w), (out, img_feat), (_, raw)) in zip(
+                chunk_files, sizes, det_out, raws):
             valid = np.asarray(out["valid"])
             feats = np.asarray(out["features"])[valid]
             boxes = np.asarray(out["boxes"])[valid]

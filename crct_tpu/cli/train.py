@@ -25,7 +25,11 @@ from crct_tpu.utils.logging import log_line
 
 def in_train_eval(trainer, dataset, epoch_id):
     """<=500-sample validation eval each epoch (reference train.py:294-338)."""
-    params = trainer.params_dict
+    params = dict(trainer.params_dict)
+    # in-train eval always uses the reference protocol: the fast-scorer
+    # head doesn't exist in a training param tree (it trains separately,
+    # cli.train_fast_scorer)
+    params["fast_scorer"] = False
     dataset.split = params["eval_set"]
     dataset.get_all_answers = True
     rng = np.random.default_rng(params.get("seed", 0) + epoch_id)

@@ -324,6 +324,18 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     log_print = log_print or (lambda msg: print(msg, flush=True))
     chunk = eval_batch_size or params.get("eval_batch_size", 10)
     chunk = max(chunk, 1)
+    # data-parallel eval over the local mesh: chunks shard on the leading
+    # (row) axis, params replicate (the reference's per-GPU DDP eval,
+    # evaluation.py:134-153, within one host)
+    from crct_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        replicate as _replicate)
+    n_local = len(jax.local_devices())
+    mesh = (make_mesh(devices=jax.local_devices())
+            if n_local > 1 else None)
+    if mesh is not None:
+        chunk = ((chunk + n_local - 1) // n_local) * n_local
+        model_params = _replicate(model_params, mesh)
+        row_sharding = batch_sharding(mesh)
     allreduce = allreduce or (lambda x: x)
     binary = params.get("binary_answers", False)
     fast = bool(params.get("fast_scorer")) and not binary
@@ -345,6 +357,9 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         collected = None
         for piece, valid in _chunk_rows(rows, chunk):
             t0 = time.time()
+            if mesh is not None:
+                piece = {k: jax.device_put(v, row_sharding)
+                         for k, v in piece.items()}
             outs = eval_step(model_params, piece)
             if collected is None:
                 collected = [[] for _ in outs]

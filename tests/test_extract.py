@@ -173,3 +173,38 @@ def test_chunk_gen_range_resume():
     resumed = list(chunk_gen(lst, 10, chunk_range="3:5"))
     assert [c for c, _ in resumed] == [3, 4]
     assert resumed[0][1][0] == 30
+
+
+def test_extract_cli_batched_inference(tmp_path):
+    """cli.extract_features end-to-end on synthetic PNGs: vmapped
+    --infer-batch detection, --load-weights none, shard writing. The CLI's
+    MaskRCNN constructor is patched to the depth-14 test trunk."""
+    import json
+    from unittest import mock
+
+    from crct_tpu.cli import extract_features as xf
+    from crct_tpu.detector.mask_rcnn import MaskRCNN
+    from crct_tpu.detector.synthetic_charts import generate_png_dataset
+
+    generate_png_dataset(str(tmp_path / "data"), n_images=3, seed=0,
+                         split="test")
+    out_dir = tmp_path / "out"
+
+    def tiny_rcnn(**kw):
+        kw.update(depth=14, post_nms_topk_test=32)
+        return MaskRCNN(**kw)
+
+    # the CLI imports MaskRCNN inside main(), so patching the module
+    # attribute swaps in the tiny trunk
+    with mock.patch("crct_tpu.detector.mask_rcnn.MaskRCNN", tiny_rcnn):
+        xf.main(["--load-weights", "none",
+                 "--dir-path", str(tmp_path / "data"), "--split", "test",
+                 "--output", str(out_dir), "--batch-size", "3",
+                 "--infer-batch", "2", "--ocr-gt", "--dataset", "plotqa",
+                 "--image-size", "64"])
+    recs = np.load(out_dir / "0.npy", allow_pickle=True)
+    assert len(recs) == 3
+    for r in recs:
+        assert r["class"][0] == 1000          # <IMG> token at row 0
+        assert r["vis_feat"].shape[1] == 1024
+        assert set(r) >= {"image_id", "vis_bbox", "height", "width"}

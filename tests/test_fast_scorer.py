@@ -35,7 +35,9 @@ def fast_env(tmp_path_factory):
                         num_workers=1)
     sample = next(iter(loader))
     rows = {k: jnp.asarray(v) for k, v in build_fast_rows(sample).items()}
-    variables = model.init({"params": jax.random.key(0)}, rows, train=False)
+    import functools
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, rows)
     ds.get_all_answers = False
     return params, ds, model, variables["params"]
 

@@ -64,10 +64,12 @@ def tiny_detector():
     gt_classes = jnp.asarray([1, 3, 0], jnp.int32)
     gt_valid = jnp.asarray([True, True, False])
     gt_masks = jnp.ones((3, 28, 28), jnp.float32)
-    variables = model.init(jax.random.key(0), image, train=True,
-                           gt_boxes=gt_boxes, gt_classes=gt_classes,
-                           gt_valid=gt_valid, gt_masks28=gt_masks,
-                           rng=jax.random.key(1))
+    import functools
+    variables = jax.jit(functools.partial(
+        model.init, train=True))(jax.random.key(0), image,
+                                 gt_boxes=gt_boxes, gt_classes=gt_classes,
+                                 gt_valid=gt_valid, gt_masks28=gt_masks,
+                                 rng=jax.random.key(1))
     return model, variables, image, (gt_boxes, gt_classes, gt_valid, gt_masks)
 
 
