@@ -107,7 +107,11 @@ class CRCTModel(nn.Module):
             from crct_tpu.models.fast_scorer import FastScorer
             fused = (t_pooled + v_pooled if cfg.fusion_method == "sum"
                      else t_pooled * v_pooled)
-            cand_logits = FastScorer(cfg.vocab_size, dtype=dtype,
+            # emb_dim = hidden_size so the head can be warm-started from the
+            # backbone's word embeddings (fast_scorer_train copies them in)
+            cand_logits = FastScorer(cfg.vocab_size,
+                                     emb_dim=cfg.hidden_size,
+                                     hidden=cfg.bi_hidden_size, dtype=dtype,
                                      name="fast_scorer")(
                 fused, batch["cand_tokens"].astype(jnp.int32),
                 batch["cand_valid"])

@@ -62,6 +62,16 @@ def train_fast_scorer(params: Dict[str, Any], dataset, model: CRCTModel,
     # must stay alive
     head = jax.tree.map(lambda x: jnp.array(x, copy=True),
                         model_params["fast_scorer"])
+    # warm-start candidate embeddings from the (pretrained) backbone word
+    # embeddings when shapes line up
+    try:
+        word = model_params["bert"]["embeddings"]["word_embeddings"]["embedding"]
+        if head["cand_embeddings"]["embedding"].shape == word.shape:
+            head["cand_embeddings"] = dict(embedding=jnp.array(word))
+            log_print("[fast-scorer] candidate embeddings warm-started "
+                      "from backbone word embeddings")
+    except (KeyError, TypeError):
+        pass
     frozen = {k: v for k, v in model_params.items() if k != "fast_scorer"}
     opt_state = jax.jit(tx.init)(head)
     step_fn = make_head_train_step(model, tx)
