@@ -175,3 +175,33 @@ def test_deterministic_examples(env):
     a, b = ds[3], ds[3]
     for k in ("tokens", "loc", "image_feat"):
         assert np.array_equal(a[k], b[k])
+
+
+def test_process_workers_match_thread_loader(tmp_path):
+    """Spawned process workers (opt-in worker_mode='process') must yield
+    byte-identical batches to the default producer thread: example RNG is
+    seeded per qa_ind, so worker placement cannot change results."""
+    from crct_tpu.data.dataset import ChartQADataset, DataLoader
+    from tests.helpers import synthetic_params
+
+    params = synthetic_params(tmp_path, n_images=8, division=4,
+                              n_questions=4, feat_dim=16)
+    ds = ChartQADataset(params, ["train"])
+    kw = dict(batch_size=4, shuffle=True, seed=3, drop_last=True)
+    thread_batches = list(DataLoader(ds, num_workers=1, **kw))
+    proc_loader = DataLoader(ds, num_workers=2, worker_mode="process", **kw)
+    try:
+        proc_batches = list(proc_loader)
+    finally:
+        proc_loader.close()
+    assert proc_loader.worker_mode == "process"   # no silent fallback
+    assert len(proc_batches) == len(thread_batches) > 0
+    for tb, pb in zip(thread_batches, proc_batches):
+        assert set(tb) == set(pb)
+        for k in tb:
+            np.testing.assert_array_equal(np.asarray(tb[k], dtype=object)
+                                          if isinstance(tb[k], list)
+                                          else np.asarray(tb[k]),
+                                          np.asarray(pb[k], dtype=object)
+                                          if isinstance(pb[k], list)
+                                          else np.asarray(pb[k]))
