@@ -64,6 +64,51 @@ def bench_eval(model, params, rng, n_chips: int) -> dict:
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
+def bench_input_pipeline() -> dict:
+    """Host-side input pipeline: samples/s through the example builder +
+    loader (PlotQA-shaped synthetic records, real 1024-d features, native
+    tokenizer when available). The number to compare against the train
+    step's consumption (qa_pairs/s/chip x chips/host)."""
+    import os
+    import tempfile
+
+    from crct_tpu.config import default_params
+    from crct_tpu.data.dataset import ChartQADataset, DataLoader
+    from crct_tpu.data.synthetic import generate_dataset
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = generate_dataset(os.path.join(td, "d"), n_images=64,
+                               division=8, n_questions=16, feat_dim=1024)
+        # write the synthetic vocab to a file so the native C++ tokenizer
+        # engages (the production path; pure Python is ~2x slower)
+        from crct_tpu.data.tokenizer import WordPieceTokenizer
+        synth = WordPieceTokenizer.synthetic()
+        vocab_path = os.path.join(td, "vocab.txt")
+        inv = {v: k for k, v in synth.vocab.items()}
+        with open(vocab_path, "w") as f:
+            for i in range(len(synth.vocab)):
+                f.write(inv[i] + "\n")
+        params = default_params(
+            figure_feat_path=cfg["figure_feat_path"],
+            qa_parent_dir=cfg["qa_parent_dir"],
+            dataset_config={"dataset_files_divisions":
+                            cfg["dataset_files_divisions"]},
+            splits=cfg["splits"], categories=cfg["categories"],
+            vocab_file=vocab_path)
+        ds = ChartQADataset(params, ["train"])
+        loader = DataLoader(ds, batch_size=80, shuffle=True, drop_last=True,
+                            num_workers=1)
+        it = iter(loader)
+        next(it)                       # warm (lazy shard loads)
+        n, t0 = 0, time.perf_counter()
+        for batch in it:
+            n += 80
+            if n >= 2400:
+                break
+        dt = time.perf_counter() - t0
+        return {"input_pipeline_samples_per_sec_per_host": round(n / dt, 1)}
+
+
 def train_step_flops() -> float:
     """Analytic train-step FLOPs (batch 80) from XLA's cost model, computed
     by CPU-lowering the grad step in a subprocess (the axon backend returns
@@ -323,6 +368,7 @@ def main(pallas: bool = False, include_e2e: bool = False) -> None:
         aux["mfu_error"] = str(e)[:200]
     aux.update(bench_eval(model, params, np.random.default_rng(1), n_chips))
     aux.update(bench_fast_scorer(cfg, np.random.default_rng(2), n_chips))
+    aux.update(bench_input_pipeline())
     if include_e2e:
         aux.update(bench_e2e_charts(n_chips))
     print(json.dumps({

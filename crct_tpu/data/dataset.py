@@ -223,15 +223,16 @@ def _picklable(params: Dict[str, Any]) -> Dict[str, Any]:
 class DataLoader:
     """Parallel loader with shuffling, per-host sharding and drop_last.
 
-    Default: ONE background producer thread. Measured on this builder
-    (native C++ WordPiece tokenizer releasing the GIL), a single producer
-    sustains ~1.3k samples/s — ~2x the full model's train-step consumption
-    — while N>1 threads only add GIL contention, and process workers lose
-    more to result IPC (each batch carries ~15MB of RoI features) than
-    they gain in parallelism. ``worker_mode="process"`` opts into spawned
-    process workers (never forked: a live JAX/TPU backend in the parent is
-    not inherited — the reference's torch DataLoader worker model,
-    train.py:54-73) for heavier builders.
+    Default: ONE background producer thread, which overlaps building with
+    the consumer's device time. On this (single-core) dev box a single
+    producer with the native C++ WordPiece tokenizer sustains ~0.5-2k
+    samples/s vs the full model's ~700 samples/s/chip train consumption;
+    extra threads only add GIL contention and process workers only add
+    result IPC (~15MB of RoI features per batch). On multi-core production
+    hosts, ``worker_mode="process"`` opts into spawned process workers for
+    real parallelism (never forked: a live JAX/TPU backend in the parent
+    is not inherited — the reference's torch DataLoader worker model,
+    train.py:54-73); batches are byte-identical either way (per-index RNG).
     ``num_shards``/``shard_index`` replace the reference's
     ``DistributedSampler`` (train.py:55): each JAX process takes its
     interleaved slice of the (epoch-shuffled) index list.
