@@ -56,7 +56,9 @@ assert float(total) == 28.0, float(total)
 from crct_tpu.train.eval_loop import global_sum
 g = global_sum(np.asarray([float(rank + 1)]))
 assert float(g[0]) == 3.0, g
-print("CHILD_OK", rank, flush=True)
+# single-arg print = one atomic write (stderr shares the pipe; multi-arg
+# prints interleave with gloo's log lines)
+print(f"CHILD_OK_{{rank}}", flush=True)
 """
 
 
@@ -89,7 +91,7 @@ def test_two_process_distributed_init(tmp_path):
         outs.append(out)
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
-        assert f"CHILD_OK {r}" in out
+        assert f"CHILD_OK_{r}" in out
 
 
 def test_eval_log_per_rank_csvs(tmp_path):
