@@ -163,3 +163,49 @@ def test_possible_answers_order_matches(envs):
     got = mine.get_possible_answers(qa["image_index"])
     want = ref.get_possible_answers(qa["image_index"])
     assert [str(x) for x in got] == [str(x) for x in want]
+
+
+@pytest.mark.parametrize("quirk", ["fixed_vocab", "hbar_bbox_t"])
+def test_quirk_modes_match(envs, tmp_path, quirk):
+    """-fixed_vocab (constant candidate set, no 120-pad) and -hbar_bbox_t
+    (bbox transpose on hbar charts) must match the reference item-for-item
+    too (fig_dataloader.py:453,534,549,584)."""
+    params, mine, ref = envs
+    import fig_dataloader as ref_mod
+
+    qparams = dict(params)
+    qparams[quirk] = True
+    from crct_tpu.data.tokenizer import WordPieceTokenizer
+    mine_q = ChartQADataset(
+        qparams, ["val"], init_split="val",
+        tokenizer=WordPieceTokenizer.from_vocab_file(params["vocab_file"]))
+    ref_q = ref_mod.PlotQA_Dataset(dict(qparams), ["val"])
+    ref_q.split = "val"
+    mine_q.get_all_answers = True
+    ref_q.get_all_answers = True
+    for i in range(len(ref_q)):
+        m, r = mine_q[i], ref_q[i]
+        n_ans = int(_np(m["num_ans"]).reshape(-1)[0])
+        assert n_ans == int(_np(r["num_ans"]).reshape(-1)[0]), i
+        # gt_id is only comparable when the answer is actually a candidate
+        # or floatable: otherwise the reference NEG-relabels with an
+        # UNSEEDED random index (fig_dataloader.py:593-601)
+        gt = str(r["gt"])
+        deterministic_gt = gt in ref_q.fixed_vocab
+        if not deterministic_gt:
+            try:
+                float(gt)
+                deterministic_gt = True
+            except ValueError:
+                pass
+        if deterministic_gt:
+            assert int(_np(m["gt_id"]).reshape(-1)[0]) == \
+                int(_np(r["gt_id"]).reshape(-1)[0]), i
+        # fixed_vocab: we pad candidates to the constant vocab size instead
+        # of the reference's always-120 (a deliberate fixed-fan-out
+        # optimization); compare the valid candidate rows
+        m_valid = {k: _np(v)[:n_ans] if _np(v).ndim > 0 else v
+                   for k, v in m.items() if k in COMPARE_KEYS}
+        r_valid = {k: _np(v)[:n_ans] if _np(v).ndim > 0 else v
+                   for k, v in r.items() if k in COMPARE_KEYS}
+        _compare_item(m_valid, r_valid, ctx=f"{quirk} eval idx {i}")
