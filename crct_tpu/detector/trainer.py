@@ -123,22 +123,31 @@ class DetectorTrainer:
 
 
 def coco_evaluate(model: MaskRCNN, params, dataset, *,
-                  max_images: Optional[int] = None) -> Dict[str, float]:
+                  max_images: Optional[int] = None,
+                  infer_batch: int = 8) -> Dict[str, float]:
     """Run inference over a CocoDataset and compute bbox mAP
-    (the reference's `--test` mode, frcnn.py:200-202)."""
+    (the reference's `--test` mode, frcnn.py:200-202). Images are vmapped
+    into ``infer_batch``-sized device dispatches."""
     from crct_tpu.detector.coco import evaluate_detections
 
-    infer = jax.jit(lambda p, im: model.apply({"params": p}, im, train=False))
+    infer = jax.jit(jax.vmap(
+        lambda p, im: model.apply({"params": p}, im, train=False),
+        in_axes=(None, 0)))
     dets, gts = [], []
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
-    for i in range(n):
-        ex = dataset[i]
-        out = infer(params, jnp.asarray(ex["image"]))
-        valid = np.asarray(out["valid"])
-        dets.append({"boxes": np.asarray(out["boxes"])[valid] / ex["scale"],
-                     "scores": np.asarray(out["scores"])[valid],
-                     "classes": np.asarray(out["classes"])[valid]})
-        gv = ex["gt_valid"]
-        gts.append({"boxes": ex["gt_boxes"][gv] / ex["scale"],
-                    "classes": ex["gt_classes"][gv]})
+    for s in range(0, n, infer_batch):
+        exs = [dataset[i] for i in range(s, min(s + infer_batch, n))]
+        npad = infer_batch - len(exs)
+        stack = np.stack([e["image"] for e in exs]
+                         + [exs[-1]["image"]] * npad)
+        outs = infer(params, jnp.asarray(stack))
+        for j, ex in enumerate(exs):
+            out = jax.tree.map(lambda x: np.asarray(x[j]), outs)
+            valid = out["valid"]
+            dets.append({"boxes": out["boxes"][valid] / ex["scale"],
+                         "scores": out["scores"][valid],
+                         "classes": out["classes"][valid]})
+            gv = ex["gt_valid"]
+            gts.append({"boxes": ex["gt_boxes"][gv] / ex["scale"],
+                        "classes": ex["gt_classes"][gv]})
     return evaluate_detections(dets, gts, model.num_classes)
