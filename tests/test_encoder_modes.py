@@ -12,12 +12,13 @@ from tests.test_model import make_batch
 
 
 def _grads(cfg, batch):
+    import functools
     model = CRCTModel(config=cfg, categories=10)
-    v = model.init({"params": jax.random.key(0),
-                    "dropout": jax.random.key(1)}, batch, train=True)
-    g = jax.grad(lambda p: model.apply(
+    v = jax.jit(functools.partial(model.init, train=True))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch)
+    g = jax.jit(jax.grad(lambda p: model.apply(
         {"params": p}, batch, train=True,
-        rngs={"dropout": jax.random.key(2)}).loss)(v["params"])
+        rngs={"dropout": jax.random.key(2)}).loss))(v["params"])
     return v["params"], g
 
 
