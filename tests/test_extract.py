@@ -208,3 +208,43 @@ def test_extract_cli_batched_inference(tmp_path):
         assert r["class"][0] == 1000          # <IMG> token at row 0
         assert r["vis_feat"].shape[1] == 1024
         assert set(r) >= {"image_id", "vis_bbox", "height", "width"}
+
+
+def test_apply_ocr_with_stubbed_pytesseract(monkeypatch):
+    """Real-OCR cleanup logic (reference extract_features.py:579-627) tested
+    with a stubbed pytesseract: 5px crop dilation (clamped), >=3-aspect
+    vertical-tick rotation, empty-page '0' fallback, FigureQA color fuzzy
+    matching, and numeric cleanup of stray leading/trailing chars."""
+    import sys
+    import types
+
+    from crct_tpu.detector import ocr as ocr_mod
+
+    calls = []
+
+    def fake_image_to_string(crop):
+        calls.append(np.asarray(crop).shape)
+        idx = len(calls) - 1
+        return ["12.5\nnoise", "\x0c", "Dark Turqoise", "(37.5)",
+                "qqqq zzzz"][idx]
+
+    fake = types.ModuleType("pytesseract")
+    fake.image_to_string = fake_image_to_string
+    monkeypatch.setitem(sys.modules, "pytesseract", fake)
+
+    image = np.zeros((100, 200, 3), np.uint8)
+    cls_dict = {"xticklabel": 3}
+    boxes = np.asarray([
+        [10, 10, 20, 55],     # xticklabel, aspect (55-10)/(20-10)=4.5 -> rotate
+        [30, 30, 60, 40],     # empty OCR -> "0"
+        [50, 10, 90, 25],     # fuzzy color match
+        [0, 0, 30, 12],       # "(37.5)" -> strip to "37.5"
+        [100, 50, 150, 70],   # free text passes through
+    ], np.float32)
+    classes = np.asarray([3, 9, 9, 9, 9])
+    texts = ocr_mod.apply_ocr(image, boxes, classes, cls_dict)
+    assert texts == ["12.5", "0", "Dark Turquoise", "37.5", "qqqq zzzz"]
+    # the vertical tick crop was rotated: dilated crop is (50+10)x(15+10+1-ish)
+    # tall->wide after rot90
+    h0, w0 = calls[0][:2]
+    assert w0 > h0
