@@ -187,7 +187,7 @@ def bench_e2e_charts(n_chips: int) -> dict:
     """End-to-end charts/sec: chart PNG -> Mask R-CNN R50-FPN detection ->
     feature extraction (<IMG> token, GT-text oracle, axes normalization) ->
     full-size CRCT QA answer. First pass compiles (detector + eval step);
-    the second identical pass is timed. Heavy; run via ``--all``."""
+    the second identical pass is timed. Skip via ``--no-e2e``."""
     import os
     import shutil
     import tempfile
@@ -224,7 +224,8 @@ def bench_e2e_charts(n_chips: int) -> dict:
         import jax.numpy as jnp
 
         def detect_one(dparams, image):
-            out = detector.apply({"params": dparams}, image, train=False)
+            out = detector.apply({"params": dparams}, image, train=False,
+                                 compute_masks=False)
             full = jnp.asarray([[0.0, 0.0, IMG, IMG]])
             img_feat = detector.apply({"params": dparams}, image, full,
                                       method=MaskRCNN.extract_roi_features)
@@ -253,10 +254,11 @@ def bench_e2e_charts(n_chips: int) -> dict:
                 padded = np.zeros((IMG, IMG, 3), np.float32)
                 padded[:raw.shape[0], :raw.shape[1]] = norm[:IMG, :IMG]
                 stack.append(padded)
-            outs, img_feats = detect_batch(dparams, jnp.asarray(np.stack(stack)))
+            outs, img_feats = jax.device_get(
+                detect_batch(dparams, jnp.asarray(np.stack(stack))))
             records = []
             for j, (img_path, (h, w)) in enumerate(zip(files, sizes)):
-                out = jax.tree.map(lambda x: np.asarray(x[j]), outs)
+                out = jax.tree.map(lambda x: x[j], outs)
                 valid = out["valid"]
                 feats, classes, boxes = inject_img_token(
                     out["features"][valid], out["classes"][valid],
@@ -370,7 +372,11 @@ def main(pallas: bool = False, include_e2e: bool = False) -> None:
     aux.update(bench_fast_scorer(cfg, np.random.default_rng(2), n_chips))
     aux.update(bench_input_pipeline())
     if include_e2e:
-        aux.update(bench_e2e_charts(n_chips))
+        # ~2 min (detector + eval compile passes); never sink the headline
+        try:
+            aux.update(bench_e2e_charts(n_chips))
+        except Exception as e:
+            aux["e2e_error"] = str(e)[:200]
     print(json.dumps({
         "metric": "train QA-pairs/sec/chip (batch 80, bf16, full CRCT)",
         "value": round(qa_pairs_per_sec_per_chip, 2),
@@ -383,4 +389,5 @@ def main(pallas: bool = False, include_e2e: bool = False) -> None:
 
 if __name__ == "__main__":
     import sys
-    main(pallas="--pallas" in sys.argv, include_e2e="--all" in sys.argv)
+    main(pallas="--pallas" in sys.argv,
+         include_e2e="--no-e2e" not in sys.argv)

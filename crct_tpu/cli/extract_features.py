@@ -63,7 +63,11 @@ def main(argv=None):
                      stride_in_1x1=stride_in_1x1)
 
     def detect_one(params, image):
-        out = model.apply({"params": params}, image, train=False)
+        # masks are never written to feature records; skipping the mask
+        # branch saves the 14x14 RoIAlign + head and a [K,28,28,C]
+        # device->host transfer per image
+        out = model.apply({"params": params}, image, train=False,
+                          compute_masks=False)
         full = jnp.asarray([[0.0, 0.0, image.shape[1], image.shape[0]]])
         img_feat = model.apply({"params": params}, image, full,
                                method="extract_roi_features")
@@ -113,11 +117,13 @@ def main(argv=None):
             group = [p for p, _ in raws[s:s + IB]]
             npad = IB - len(group)
             stack = np.stack(group + [group[-1]] * npad)
-            out, img_feat = detect_batch(params, jnp.asarray(stack))
+            # one host fetch for the whole dispatch group (per-leaf
+            # per-image fetches are round-trip-bound on tunneled backends)
+            out, img_feat = jax.device_get(
+                detect_batch(params, jnp.asarray(stack)))
             for j in range(len(group)):
-                det_out.append((
-                    jax.tree.map(lambda x: np.asarray(x[j]), out),
-                    np.asarray(img_feat[j])))
+                det_out.append((jax.tree.map(lambda x: x[j], out),
+                                img_feat[j]))
         for (img_path, (h, w), (out, img_feat), (_, raw)) in zip(
                 chunk_files, sizes, det_out, raws):
             valid = np.asarray(out["valid"])

@@ -63,7 +63,8 @@ class MaskRCNN(nn.Module):
                  gt_classes: Optional[jnp.ndarray] = None,
                  gt_valid: Optional[jnp.ndarray] = None,
                  gt_masks28: Optional[jnp.ndarray] = None,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 compute_masks: bool = True):
         H, W = image.shape[0], image.shape[1]
         p_feats = self.features(image)
         logits, deltas = self.rpn_head(p_feats)
@@ -85,7 +86,10 @@ class MaskRCNN(nn.Module):
                    "classes": det_classes, "valid": det_valid,
                    "features": feats[kept_rows],
                    "proposals": proposals, "proposal_valid": prop_valid}
-            if self.with_mask:
+            # feature extraction only needs boxes + box-head features; the
+            # mask branch (RoIAlign 14x14 + 4 convs + a [K,28,28,C] output
+            # that would ride the host link) is skippable per call
+            if self.with_mask and compute_masks:
                 mask_pooled = multilevel_roi_align(
                     p_feats[:4], det_boxes, strides=ROI_STRIDES,
                     output_size=14)

@@ -84,6 +84,26 @@ def make_fast_eval_step(model: CRCTModel):
     return jax.jit(eval_step)
 
 
+# Compiled-step memo: ``evaluate()`` is called repeatedly with the same model
+# object (per-epoch in-train eval, resumed CLI eval) and a fresh jax.jit
+# wrapper per call would recompile the whole eval graph each time. Keyed by
+# object identity (Flax module configs hold lists, so modules aren't
+# hashable); the strong model reference in the value keeps ids from being
+# reused by the allocator.
+_STEP_CACHE: Dict[Tuple[int, str], Tuple[CRCTModel, Callable]] = {}
+
+
+def _cached_eval_step(model: CRCTModel, kind: str) -> Callable:
+    key = (id(model), kind)
+    hit = _STEP_CACHE.get(key)
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    step = make_fast_eval_step(model) if kind == "fast" else \
+        make_eval_step(model)
+    _STEP_CACHE[key] = (model, step)
+    return step
+
+
 def build_fast_rows(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Eval batch [B, P, ...] -> per-question rows for the fast scorer.
 
@@ -339,7 +359,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     allreduce = allreduce or (lambda x: x)
     binary = params.get("binary_answers", False)
     fast = bool(params.get("fast_scorer")) and not binary
-    eval_step = make_fast_eval_step(model) if fast else make_eval_step(model)
+    eval_step = _cached_eval_step(model, "fast" if fast else "rank")
 
     breakdown = np.zeros((5, 4, 3, 3), np.float64)
     total_correct = np.zeros((6, 2), np.float64)
@@ -360,11 +380,13 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             if mesh is not None:
                 piece = {k: jax.device_put(v, row_sharding)
                          for k, v in piece.items()}
-            outs = eval_step(model_params, piece)
+            # one host fetch for all outputs (each np.asarray would be its
+            # own device->host round trip; latency-bound on tunneled backends)
+            outs = jax.device_get(eval_step(model_params, piece))
             if collected is None:
                 collected = [[] for _ in outs]
             for acc, o in zip(collected, outs):
-                acc.append(np.asarray(o)[:valid])
+                acc.append(o[:valid])
             inf_time[0] += time.time() - t0
         return [np.concatenate(a) for a in collected]
 
