@@ -102,24 +102,76 @@ def multilevel_roi_align(features: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                          canonical_level: int = 4, canonical_size: int = 224,
                          min_level: int = 2, max_level: int = 5) -> jnp.ndarray:
     """FPN RoIAlign: assign each box to a pyramid level by scale (FPN eq. 1),
-    pool at every level with static shapes, then select per box.
+    then bilinear-sample from ONE flattened pyramid tensor.
+
+    All levels' maps are flattened row-major and concatenated to [sum(HW), C];
+    each sample point becomes one flat row index (level offset + y*W + x), so
+    every box is pooled exactly once at its assigned level — 1/L the gather
+    traffic of pooling every box at every level and selecting.
 
     features: list of [H_l, W_l, C] maps for levels min_level..max_level.
     """
+    import numpy as np
+
     boxes = boxes.astype(jnp.float32)
     w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0)
     h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 0.0)
     scale = jnp.sqrt(w * h)
     lvl = jnp.floor(canonical_level
                     + jnp.log2(jnp.maximum(scale, 1e-6) / canonical_size))
-    lvl = jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+    lvl = (jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+           - min_level)                                           # [N] 0..L-1
 
-    pooled_all = []
-    for i, feat in enumerate(features):
-        pooled_all.append(roi_align(
-            feat, boxes, spatial_scale=1.0 / strides[i],
-            output_size=output_size, sampling_ratio=sampling_ratio))
-    stacked = jnp.stack(pooled_all)                 # [L, N, P, P, C]
-    sel = (lvl - min_level)                         # [N]
-    onehot = jax.nn.one_hot(sel, stacked.shape[0], dtype=stacked.dtype)
-    return jnp.einsum("lnpqc,nl->npqc", stacked, onehot)
+    Hs = np.asarray([f.shape[0] for f in features])
+    Ws = np.asarray([f.shape[1] for f in features])
+    C = features[0].shape[-1]
+    level_offset = np.concatenate([[0], np.cumsum(Hs * Ws)])[:-1]
+    flat = jnp.concatenate([f.reshape(-1, C) for f in features], axis=0)
+
+    box_H = jnp.asarray(Hs, jnp.float32)[lvl]                     # [N]
+    box_W = jnp.asarray(Ws, jnp.float32)[lvl]
+    box_off = jnp.asarray(level_offset, jnp.int32)[lvl]
+    inv_stride = (1.0 / jnp.asarray(strides, jnp.float32))[lvl]
+
+    P, S = output_size, sampling_ratio
+    b = boxes * inv_stride[:, None]
+    # aligned=True: half-pixel offset (Detectron2 ROIAlignV2)
+    x1 = b[:, 0] - 0.5
+    y1 = b[:, 1] - 0.5
+    bin_w = jnp.maximum(b[:, 2] - 0.5 - x1, 1e-6) / P
+    bin_h = jnp.maximum(b[:, 3] - 0.5 - y1, 1e-6) / P
+
+    offs = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S           # [S]
+    grid = jnp.arange(P, dtype=jnp.float32)                       # [P]
+    ys = (y1[:, None, None]
+          + (grid[None, :, None] + offs[None, None, :]) * bin_h[:, None, None])
+    xs = (x1[:, None, None]
+          + (grid[None, :, None] + offs[None, None, :]) * bin_w[:, None, None])
+    N = boxes.shape[0]
+    ys = jnp.broadcast_to(ys.reshape(N, P * S, 1), (N, P * S, P * S))
+    xs = jnp.broadcast_to(xs.reshape(N, 1, P * S), (N, P * S, P * S))
+
+    maxy = (box_H - 1.0)[:, None, None]
+    maxx = (box_W - 1.0)[:, None, None]
+    y = jnp.clip(ys, 0.0, maxy)
+    x = jnp.clip(xs, 0.0, maxx)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1i = jnp.minimum(y0 + 1, maxy.astype(jnp.int32))
+    x1i = jnp.minimum(x0 + 1, maxx.astype(jnp.int32))
+    wy1 = y - y0.astype(y.dtype)
+    wx1 = x - x0.astype(x.dtype)
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
+
+    base = box_off[:, None, None]
+    Wi = box_W.astype(jnp.int32)[:, None, None]
+
+    def g(yy, xx):
+        return flat[base + yy * Wi + xx]          # gather -> [N,PS,PS,C]
+
+    sampled = (g(y0, x0) * (wy0 * wx0)[..., None]
+               + g(y0, x1i) * (wy0 * wx1)[..., None]
+               + g(y1i, x0) * (wy1 * wx0)[..., None]
+               + g(y1i, x1i) * (wy1 * wx1)[..., None])
+    return sampled.reshape(N, P, S, P, S, C).mean(axis=(2, 4))
