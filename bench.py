@@ -311,7 +311,63 @@ def bench_e2e_charts(n_chips: int) -> dict:
         shutil.rmtree(td, ignore_errors=True)
 
 
-def main(pallas: bool = False, include_e2e: bool = False) -> None:
+def bench_detector_train(n_chips: int) -> dict:
+    """Detector train-step throughput: Mask R-CNN R50-FPN, 512px synthetic
+    batch, the reference solver (frcnn.py:167-175). Per-chip batch 4 is the
+    measured optimum (8 OOMs without remat; 8 + remat is slower per image).
+    Heavy compile (~4 min); run via ``--all``."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from crct_tpu.detector.mask_rcnn import MaskRCNN
+    from crct_tpu.detector.trainer import (make_detector_optimizer,
+                                           make_detector_train_step)
+    from crct_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    B, IMG, MAXB = 4 * n_chips, 512, 40
+    rng = np.random.default_rng(0)
+    model = MaskRCNN(num_classes=25, with_mask=True)
+    raw = np.sort(rng.random((B, MAXB, 2, 2), np.float32) * IMG, axis=2)
+    batch = {
+        "image": rng.random((B, IMG, IMG, 3)).astype(np.float32),
+        "gt_boxes": np.concatenate([raw.min(2), raw.max(2)], -1),
+        "gt_classes": rng.integers(0, 25, (B, MAXB)).astype(np.int32),
+        "gt_valid": (rng.random((B, MAXB)) < 0.5).astype(np.float32),
+        "gt_masks28": (rng.random((B, MAXB, 28, 28)) < 0.5).astype(np.float32),
+    }
+    mesh = make_mesh()
+
+    def init_fn(r):
+        v = model.init(r, jnp.asarray(batch["image"][0]), train=True,
+                       gt_boxes=jnp.asarray(batch["gt_boxes"][0]),
+                       gt_classes=jnp.asarray(batch["gt_classes"][0]),
+                       gt_valid=jnp.asarray(batch["gt_valid"][0]),
+                       gt_masks28=jnp.asarray(batch["gt_masks28"][0]), rng=r)
+        return v["params"]
+
+    params = jax.jit(init_fn)(jax.random.key(0))
+    tx = make_detector_optimizer()
+    opt_state = jax.jit(tx.init)(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    step = jax.jit(make_detector_train_step(model, tx), donate_argnums=(0, 1))
+    db = shard_batch(batch, mesh)
+    key = jax.random.key(1)
+    for _ in range(3):
+        params, opt_state, losses = step(params, opt_state, db, key)
+    np.asarray(losses["total"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        params, opt_state, losses = step(params, opt_state, db, key)
+    np.asarray(losses["total"])
+    dt = time.perf_counter() - t0
+    return {"detector_train_imgs_per_sec_per_chip":
+            round(B * 10 / dt / n_chips, 2)}
+
+
+def main(pallas: bool = False, include_e2e: bool = False,
+         include_detector_train: bool = False) -> None:
     import jax
     import optax
     from __graft_entry__ import _synthetic_step_batch
@@ -377,6 +433,11 @@ def main(pallas: bool = False, include_e2e: bool = False) -> None:
             aux.update(bench_e2e_charts(n_chips))
         except Exception as e:
             aux["e2e_error"] = str(e)[:200]
+    if include_detector_train:
+        try:
+            aux.update(bench_detector_train(n_chips))
+        except Exception as e:
+            aux["detector_train_error"] = str(e)[:200]
     print(json.dumps({
         "metric": "train QA-pairs/sec/chip (batch 80, bf16, full CRCT)",
         "value": round(qa_pairs_per_sec_per_chip, 2),
@@ -390,4 +451,5 @@ def main(pallas: bool = False, include_e2e: bool = False) -> None:
 if __name__ == "__main__":
     import sys
     main(pallas="--pallas" in sys.argv,
-         include_e2e="--no-e2e" not in sys.argv)
+         include_e2e="--no-e2e" not in sys.argv,
+         include_detector_train="--all" in sys.argv)

@@ -130,8 +130,12 @@ def coco_evaluate(model: MaskRCNN, params, dataset, *,
     into ``infer_batch``-sized device dispatches."""
     from crct_tpu.detector.coco import evaluate_detections
 
+    # bbox-only evaluation (the reference's COCO bbox evaluator,
+    # frcnn.py:74-83): skip the mask branch and fetch results in one
+    # device_get per dispatch
     infer = jax.jit(jax.vmap(
-        lambda p, im: model.apply({"params": p}, im, train=False),
+        lambda p, im: model.apply({"params": p}, im, train=False,
+                                  compute_masks=False),
         in_axes=(None, 0)))
     dets, gts = [], []
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
@@ -140,9 +144,9 @@ def coco_evaluate(model: MaskRCNN, params, dataset, *,
         npad = infer_batch - len(exs)
         stack = np.stack([e["image"] for e in exs]
                          + [exs[-1]["image"]] * npad)
-        outs = infer(params, jnp.asarray(stack))
+        outs = jax.device_get(infer(params, jnp.asarray(stack)))
         for j, ex in enumerate(exs):
-            out = jax.tree.map(lambda x: np.asarray(x[j]), outs)
+            out = jax.tree.map(lambda x: x[j], outs)
             valid = out["valid"]
             dets.append({"boxes": out["boxes"][valid] / ex["scale"],
                          "scores": out["scores"][valid],
