@@ -313,9 +313,9 @@ def bench_e2e_charts(n_chips: int) -> dict:
 
 def bench_detector_train(n_chips: int) -> dict:
     """Detector train-step throughput: Mask R-CNN R50-FPN, 512px synthetic
-    batch, the reference solver (frcnn.py:167-175). Per-chip batch 4 is the
-    measured optimum (8 OOMs without remat; 8 + remat is slower per image).
-    Heavy compile (~4 min); run via ``--all``."""
+    batch, the reference solver (frcnn.py:167-175). Per-chip batch 8 is the
+    measured optimum (16 is flat, 4 is -8%). Heavy compile (~2 min); run
+    via ``--all``."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -325,7 +325,7 @@ def bench_detector_train(n_chips: int) -> dict:
                                            make_detector_train_step)
     from crct_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
-    B, IMG, MAXB = 4 * n_chips, 512, 40
+    B, IMG, MAXB = 8 * n_chips, 512, 40
     rng = np.random.default_rng(0)
     model = MaskRCNN(num_classes=25, with_mask=True)
     raw = np.sort(rng.random((B, MAXB, 2, 2), np.float32) * IMG, axis=2)

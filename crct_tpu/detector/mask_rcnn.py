@@ -101,6 +101,13 @@ class MaskRCNN(nn.Module):
         r1, r2 = jax.random.split(rng)
         losses = rpn_losses(logits, deltas, anchors, gt_boxes, gt_valid, r1)
 
+        # proposals are training CONSTANTS (Detectron2 detaches them before
+        # the RoI heads): without this, gradients from the box/mask losses
+        # flow back through the RoIAlign sampling coordinates and the NMS
+        # gathers into the RPN delta head — wrong semantics and a large
+        # backward graph
+        proposals = jax.lax.stop_gradient(proposals)
+
         # add GT boxes to the proposal pool (standard trick for early training)
         pool_boxes = jnp.concatenate([proposals, gt_boxes])
         pool_valid = jnp.concatenate(
@@ -122,12 +129,22 @@ class MaskRCNN(nn.Module):
             gt_classes[matched], weight, is_fg))
 
         if self.with_mask and gt_masks28 is not None:
-            mask_pooled = multilevel_roi_align(
-                p_feats[:4], rois, strides=ROI_STRIDES, output_size=14)
-            mlogits = self.mask_head(mask_pooled)
+            # foreground-only mask branch (Detectron2 trains the mask head
+            # on fg proposals only): sample_fixed caps positives at
+            # roi_batch//4, so a fixed roi_batch//4-row subset (fg rows
+            # first, stable) holds every foreground roi; the loss is
+            # fg-weighted so the value is identical to running all rois,
+            # at 1/4 the 14x14 RoIAlign + mask-head volume
+            n_mask = max(1, self.roi_batch // 4)
             fg_w = weight * is_fg.astype(jnp.float32)
-            losses["mask"] = mask_loss(mlogits, gt_masks28[matched],
-                                       gt_classes[matched], fg_w)
+            fg_first = jnp.argsort(~is_fg, stable=True)[:n_mask]
+            mask_pooled = multilevel_roi_align(
+                p_feats[:4], rois[fg_first], strides=ROI_STRIDES,
+                output_size=14)
+            mlogits = self.mask_head(mask_pooled)
+            losses["mask"] = mask_loss(mlogits, gt_masks28[matched][fg_first],
+                                       gt_classes[matched][fg_first],
+                                       fg_w[fg_first])
         losses["total"] = sum(losses.values())
         return losses
 
