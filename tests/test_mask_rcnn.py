@@ -133,3 +133,24 @@ def _update(params, state, rng, loss_fn, tx):
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, rng)
     updates, state = tx.update(grads, state, params)
     return optax.apply_updates(params, updates), state, (loss, aux)
+
+
+def test_fg_subset_mask_loss_equals_all_roi(tiny_detector):
+    """The roi_batch//4 fg-first subset must reproduce the all-roi mask
+    loss exactly: every foreground row is inside the subset (sample_fixed
+    caps positives at that count) and background rows carry weight 0."""
+    from crct_tpu.detector.heads import mask_loss
+
+    rng = np.random.default_rng(3)
+    R, C = 16, 5
+    mlogits = jnp.asarray(rng.normal(size=(R, 28, 28, C)), jnp.float32)
+    gt_masks = jnp.asarray(rng.random((R, 28, 28)) < 0.5, jnp.float32)
+    gt_cls = jnp.asarray(rng.integers(0, C, R), jnp.int32)
+    is_fg = jnp.asarray([True] * 3 + [False] * (R - 3))
+    weight = jnp.asarray(rng.random(R) > 0.2, jnp.float32)
+    fg_w = weight * is_fg.astype(jnp.float32)
+
+    full = mask_loss(mlogits, gt_masks, gt_cls, fg_w)
+    sel = jnp.argsort(~is_fg, stable=True)[:R // 4]
+    sub = mask_loss(mlogits[sel], gt_masks[sel], gt_cls[sel], fg_w[sel])
+    np.testing.assert_allclose(float(full), float(sub), rtol=1e-6)
