@@ -202,7 +202,8 @@ def bench_e2e_charts(n_chips: int) -> dict:
 
     from PIL import Image
     from crct_tpu.detector.coco import PIXEL_MEAN, PIXEL_STD
-    from crct_tpu.detector.extract import (build_feature_record, get_gt_texts,
+    from crct_tpu.detector.extract import (batched_detect,
+                                           build_feature_record, get_gt_texts,
                                            get_nonvis_ids, inject_img_token,
                                            path_to_img_id, sorted_image_files)
     from crct_tpu.detector.mask_rcnn import MaskRCNN
@@ -254,15 +255,14 @@ def bench_e2e_charts(n_chips: int) -> dict:
                 padded = np.zeros((IMG, IMG, 3), np.float32)
                 padded[:raw.shape[0], :raw.shape[1]] = norm[:IMG, :IMG]
                 stack.append(padded)
-            outs, img_feats = jax.device_get(
-                detect_batch(dparams, jnp.asarray(np.stack(stack))))
+            det_out = batched_detect(detect_batch, dparams, stack, n_images)
             records = []
-            for j, (img_path, (h, w)) in enumerate(zip(files, sizes)):
-                out = jax.tree.map(lambda x: x[j], outs)
+            for (img_path, (h, w), (out, img_feat)) in zip(files, sizes,
+                                                           det_out):
                 valid = out["valid"]
                 feats, classes, boxes = inject_img_token(
                     out["features"][valid], out["classes"][valid],
-                    out["boxes"][valid], np.asarray(img_feats[j]), (h, w))
+                    out["boxes"][valid], np.asarray(img_feat), (h, w))
                 image_id = path_to_img_id(img_path)
                 gt_texts = get_gt_texts(gt_ann[image_id], cls_dict, "plotqa")
                 records.append(build_feature_record(
@@ -415,13 +415,16 @@ def main(pallas: bool = False, include_e2e: bool = False,
 
     aux = {"attention_path": "pallas" if pallas else "xla"}
     try:
+        # train_step_flops() lowers a batch-80 (PER-CHIP) step, so compute
+        # per-chip FLOP/s against the single-chip peak — n_chips cancels
         flops = train_step_flops()
-        tflops_per_sec = flops * (qa_pairs_per_sec_per_chip / B) * n_chips / 1e12
+        tflops_per_chip = flops * (qa_pairs_per_sec_per_chip
+                                   / BATCH_PER_CHIP) / 1e12
         aux["train_step_tflop"] = round(flops / 1e12, 3)
         aux["train_step_ms"] = round(B / qa_pairs_per_sec_per_chip / n_chips
                                      * 1000, 1)
         aux["mfu_pct_v5e_bf16"] = round(
-            100.0 * tflops_per_sec / (V5E_PEAK_BF16_TFLOPS * n_chips), 1)
+            100.0 * tflops_per_chip / V5E_PEAK_BF16_TFLOPS, 1)
     except Exception as e:
         aux["mfu_error"] = str(e)[:200]
     aux.update(bench_eval(model, params, np.random.default_rng(1), n_chips))

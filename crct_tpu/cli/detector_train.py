@@ -59,9 +59,10 @@ def main(argv=None):
                      with_masks=with_mask)
     print(f"{len(ds)} images, {len(ds.categories)} classes")
 
-    # Detectron2 model-zoo weights need the Caffe2 stride-in-1x1 blocks
-    stride_in_1x1 = bool(args.load_weights) and args.load_weights.endswith(
-        (".pkl", ".pth", ".bin"))
+    # stride convention follows the weights file's layout (Detectron2
+    # model-zoo = Caffe2 stride-in-1x1, torchvision = stride-on-3x3)
+    from crct_tpu.detector.convert import detector_file_meta
+    stride_in_1x1 = detector_file_meta(args.load_weights)["stride_in_1x1"]
     freeze_at = args.freeze_at
     if freeze_at is None:
         freeze_at = 2 if args.load_weights else 0

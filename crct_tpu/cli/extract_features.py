@@ -56,7 +56,9 @@ def main(argv=None):
         with open(ann_path) as f:
             gt_ann = json.load(f)
 
-    stride_in_1x1 = args.load_weights.endswith((".pkl", ".pth", ".bin"))
+    from crct_tpu.detector.convert import detector_file_meta
+    stride_in_1x1 = (args.load_weights != "none" and
+                     detector_file_meta(args.load_weights)["stride_in_1x1"])
     model = MaskRCNN(num_classes=args.num_classes,
                      with_mask=args.dataset == "plotqa",
                      depth=101 if args.dataset == "figure_qa" else 50,
@@ -112,18 +114,9 @@ def main(argv=None):
             padded[:raw.shape[0], :raw.shape[1]] = \
                 norm[:args.image_size, :args.image_size]
             raws.append((padded, raw))
-        det_out = []
-        for s in range(0, len(raws), IB):
-            group = [p for p, _ in raws[s:s + IB]]
-            npad = IB - len(group)
-            stack = np.stack(group + [group[-1]] * npad)
-            # one host fetch for the whole dispatch group (per-leaf
-            # per-image fetches are round-trip-bound on tunneled backends)
-            out, img_feat = jax.device_get(
-                detect_batch(params, jnp.asarray(stack)))
-            for j in range(len(group)):
-                det_out.append((jax.tree.map(lambda x: x[j], out),
-                                img_feat[j]))
+        from crct_tpu.detector.extract import batched_detect
+        det_out = batched_detect(detect_batch, params,
+                                 [p for p, _ in raws], IB)
         for (img_path, (h, w), (out, img_feat), (_, raw)) in zip(
                 chunk_files, sizes, det_out, raws):
             valid = np.asarray(out["valid"])

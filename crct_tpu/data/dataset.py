@@ -308,16 +308,19 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         chunks = self._batches()
-        if self.worker_mode == "process":
-            try:
-                yield from self._iter_process(chunks)
+        done = 0                 # batches already delivered this epoch: a
+        if self.worker_mode == "process":   # mid-epoch worker failure must
+            try:                 # not replay them through the fallback
+                for b in self._iter_process(chunks):
+                    done += 1
+                    yield b
                 return
             except Exception as e:       # sandboxed envs: fall back
                 self.close()
                 print(f"DataLoader: process workers unavailable ({e!r}); "
                       f"falling back to a prefetch thread", flush=True)
                 self.worker_mode = "thread"
-        yield from self._iter_thread(chunks)
+        yield from self._iter_thread(chunks[done:])
 
     def _iter_process(self, chunks) -> Iterator[Dict[str, Any]]:
         pool = self._ensure_pool()

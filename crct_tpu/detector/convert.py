@@ -226,6 +226,19 @@ def load_detector_torch_file(path: str) -> Dict[str, Any]:
             isinstance(v, (list, tuple, np.ndarray))}
 
 
+def detector_file_meta(path: str) -> Dict[str, Any]:
+    """Meta for a weights file BEFORE the model is constructed — the stride
+    convention must inform the ResNet build (see module NOTE), not be
+    guessed from the file extension (torchvision ``.pth`` backbones need
+    stride-on-3x3, Detectron2 ``.pth``/``.pkl`` need stride-in-1x1)."""
+    if not path or not path.endswith((".pkl", ".pth", ".bin")):
+        return {"stride_in_1x1": False}
+    sd = load_detector_torch_file(path)
+    detectron2 = any(k.startswith(("backbone.bottom_up", "roi_heads."))
+                     for k in sd)
+    return {"stride_in_1x1": detectron2}
+
+
 def restore_detector_params(init_params: Any, path: str,
                             verbose: bool = True) -> Tuple[Any, Dict[str, Any]]:
     """Restore detector params from either a crct_tpu checkpoint or a

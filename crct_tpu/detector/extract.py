@@ -302,6 +302,27 @@ def get_gt_texts(annotation: Dict[str, Any], cls_dict: Dict[str, Any],
 # detection -> record
 # ---------------------------------------------------------------------------
 
+def batched_detect(detect_batch, params, padded_images, infer_batch: int):
+    """Dispatch padded [H,W,3] images through a jitted vmapped detector in
+    fixed ``infer_batch``-size groups (short groups pad with the last image
+    so one compiled shape serves the run); ONE device_get per group.
+    Returns per-image (out tree, img_feat) in input order — the shared
+    inner loop of the extract CLI, the e2e bench and smoke paths."""
+    import jax
+    import jax.numpy as jnp
+
+    results = []
+    for s in range(0, len(padded_images), infer_batch):
+        group = list(padded_images[s:s + infer_batch])
+        npad = infer_batch - len(group)
+        stack = np.stack(group + [group[-1]] * npad)
+        out, img_feat = jax.device_get(
+            detect_batch(params, jnp.asarray(stack)))
+        for j in range(len(group)):
+            results.append((jax.tree.map(lambda x: x[j], out), img_feat[j]))
+    return results
+
+
 def build_feature_record(image_id: int, feats: np.ndarray,
                          classes: np.ndarray, boxes: np.ndarray,
                          img_shape: Tuple[int, int], *, dataset: str,

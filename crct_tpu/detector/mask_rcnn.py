@@ -138,12 +138,13 @@ class MaskRCNN(nn.Module):
             n_mask = max(1, self.roi_batch // 4)
             fg_w = weight * is_fg.astype(jnp.float32)
             fg_first = jnp.argsort(~is_fg, stable=True)[:n_mask]
-            mask_pooled = multilevel_roi_align(
+            m_matched = matched[fg_first]     # compose indices: gather the
+            mask_pooled = multilevel_roi_align(   # fg quarter once, not all
                 p_feats[:4], rois[fg_first], strides=ROI_STRIDES,
                 output_size=14)
             mlogits = self.mask_head(mask_pooled)
-            losses["mask"] = mask_loss(mlogits, gt_masks28[matched][fg_first],
-                                       gt_classes[matched][fg_first],
+            losses["mask"] = mask_loss(mlogits, gt_masks28[m_matched],
+                                       gt_classes[m_matched],
                                        fg_w[fg_first])
         losses["total"] = sum(losses.values())
         return losses

@@ -89,8 +89,10 @@ def make_fast_eval_step(model: CRCTModel):
 # wrapper per call would recompile the whole eval graph each time. Keyed by
 # object identity (Flax module configs hold lists, so modules aren't
 # hashable); the strong model reference in the value keeps ids from being
-# reused by the allocator.
+# reused by the allocator. Bounded FIFO so checkpoint/config sweeps that
+# build a model per evaluation don't pin every compiled graph forever.
 _STEP_CACHE: Dict[Tuple[int, str], Tuple[CRCTModel, Callable]] = {}
+_STEP_CACHE_MAX = 4
 
 
 def _cached_eval_step(model: CRCTModel, kind: str) -> Callable:
@@ -100,6 +102,8 @@ def _cached_eval_step(model: CRCTModel, kind: str) -> Callable:
         return hit[1]
     step = make_fast_eval_step(model) if kind == "fast" else \
         make_eval_step(model)
+    while len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+        _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
     _STEP_CACHE[key] = (model, step)
     return step
 
@@ -307,9 +311,17 @@ class EvaluationLog:
         np.save(self.snapshot_paths["histogram"], histogram)
 
     def load_tensors(self):
-        return (np.load(self.snapshot_paths["breakdown"]),
-                np.load(self.snapshot_paths["total_correct"]),
-                np.load(self.snapshot_paths["histogram"]))
+        def _load(key):
+            path = self.snapshot_paths[key]
+            if not os.path.exists(path):
+                # pre-rank-suffix snapshot naming ("{base}_{key}.npy"):
+                # fall back so resumes of older eval runs keep their totals
+                legacy = path.rsplit("_", 1)[0] + ".npy"
+                if os.path.exists(legacy):
+                    return np.load(legacy)
+            return np.load(path)
+        return (_load("breakdown"), _load("total_correct"),
+                _load("histogram"))
 
 
 def get_prev_done_ids(params: Dict[str, Any]) -> Optional[np.ndarray]:

@@ -79,6 +79,7 @@ def train_fast_scorer(params: Dict[str, Any], dataset, model: CRCTModel,
     it = 0
     last = None
     while it < steps:
+        it_at_epoch_start = it
         for batch in loader:
             if it >= steps:
                 break
@@ -92,6 +93,11 @@ def train_fast_scorer(params: Dict[str, Any], dataset, model: CRCTModel,
                 last = float(loss)
                 log_print(f"[fast-scorer {it}/{steps}] CE: {last:.4f}")
             it += 1
+        if it == it_at_epoch_start:
+            raise ValueError(
+                "fast-scorer loader yielded no batches (dataset smaller "
+                "than the question batch with drop_last) — lower "
+                "batch_size or add data")
     dataset.get_all_answers = False
     merged = dict(frozen)
     merged["fast_scorer"] = head
