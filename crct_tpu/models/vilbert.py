@@ -163,8 +163,6 @@ class TwoStreamEncoder(nn.Module):
             if count == 0 and cfg.in_batch_pairs:
                 # batch^2 expansion: every text paired with every image
                 # (reference vilbert.py:888-895)
-                nr, nv = v_emb.shape[1], v_emb.shape[2]
-                nw, nt = t_emb.shape[1], t_emb.shape[2]
                 v_emb = jnp.tile(v_emb, (B, 1, 1))
                 v_mask = jnp.tile(v_mask, (B, 1, 1, 1))
                 t_emb = jnp.repeat(t_emb, B, axis=0)

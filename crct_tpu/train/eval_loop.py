@@ -189,14 +189,19 @@ def _chunk_rows(rows: Dict[str, np.ndarray], chunk: int):
 
 def segmented_argmax(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """argmax within each [offsets[q], offsets[q+1]) segment, relative to the
-    segment start; ties break to the first maximum like np.argmax."""
+    segment start; ties break to the first maximum like np.argmax. Empty
+    segments return 0 (np.*.reduceat would otherwise read the NEXT
+    segment's rows for them)."""
     starts = np.asarray(offsets[:-1], np.int64)
     n = len(values)
     seg_of_row = np.repeat(np.arange(len(starts)),
                            np.diff(offsets).astype(np.int64))
-    seg_max = np.maximum.reduceat(values, starts)
+    safe_starts = np.minimum(starts, max(n - 1, 0))
+    seg_max = np.maximum.reduceat(values, safe_starts) if n else starts * 0.0
     row_ids = np.where(values == seg_max[seg_of_row], np.arange(n), n)
-    return np.minimum.reduceat(row_ids, starts) - starts
+    out = (np.minimum.reduceat(row_ids, safe_starts) - starts) if n \
+        else starts * 0
+    return np.where(np.diff(offsets) > 0, out, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -294,7 +299,9 @@ class EvaluationLog:
         self.fp = f"{base}_{rank}.csv"
         self.snapshot_paths = {k: f"{base}_{k}_{rank}.npy"
                                for k in ("breakdown", "total_correct", "histogram")}
-        if not cont_eval:
+        # a resume may add ranks that have no CSV yet: those must still get
+        # a header or the next get_prev_done_ids parse crashes on them
+        if not cont_eval or not os.path.exists(self.fp):
             with open(self.fp, "w") as f:
                 f.write("," + ",".join(self.COLUMNS) + "\n")
         self._row = 0
@@ -441,11 +448,13 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
                 answers_idx = gt_id.astype(np.int64)
             else:
                 answers_idx = segmented_argmax(nsp_probs, offsets)
-            sel = starts + answers_idx
+            sel = np.minimum(starts + answers_idx, max(len(nsp_probs) - 1, 0))
             ans_reg5 = reg5[sel]
             ans_regl1 = regl1[sel]
             ans_reg_out = reg_out[sel]
-            nsp_right = answers_idx == gt_id
+            # a question with zero valid candidates can never be right
+            nonempty = np.diff(offsets) > 0
+            nsp_right = (answers_idx == gt_id) & nonempty
         inf_time[1] += len(ids)
 
         tol = np.asarray(batch["tolerance_margin"]).reshape(len(ids), -1)[:, 0]
@@ -468,8 +477,11 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             breakdown = reduce_breakdown(breakdown, dataset, batch, correct,
                                          t_correct, needs_reg)
             histogram = reduce_histogram(histogram, ans_reg5[needs_reg])
-            if logger is not None:
-                logger.save_tensors(breakdown, total_correct, histogram)
+        if logger is not None:
+            # snapshots for EVERY dataset: resume reloads them, and a
+            # dvqa/figure_qa resume without them would silently restart
+            # total_correct at zero while the CSV still skips done ids
+            logger.save_tensors(breakdown, total_correct, histogram)
         if progress:
             print_acc_table(log_print, total_correct)
             if 'plotqa' in params.get('dataset', ''):

@@ -136,13 +136,12 @@ def make_optimizer(params_dict: Dict[str, Any], model_params,
     return tx
 
 
-def current_lr(params_dict: Dict[str, Any], iters_per_epoch: float, step: int) -> float:
-    """Host-side LR readout for logging."""
-    t_total = float(iters_per_epoch) * 20.0
-    warmup = params_dict["warmup"]
-    if step < warmup:
-        factor = step / max(1.0, warmup)
-    else:
-        factor = max(0.0, (t_total - step) / max(1.0, t_total - warmup))
-    lr = params_dict["lr"] * factor
-    return lr if lr > params_dict["min_lr"] else params_dict["min_lr"]
+def current_lr(params_dict: Dict[str, Any], iters_per_epoch: float,
+               step: int) -> float:
+    """Host-side LR readout for logging: the actual schedule, evaluated at
+    the optimizer-update count (callers divide mini-steps by
+    batch_multiply)."""
+    schedule = warmup_linear_min_schedule(
+        params_dict["lr"], params_dict["warmup"],
+        float(iters_per_epoch) * 20.0, params_dict["min_lr"])
+    return float(schedule(step))

@@ -191,8 +191,13 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
 
     tb_writer = _maybe_tensorboard(params_dict)
     PRINT_EVERY = 100
-    loss_hist: list = []
-    start_t = timer()
+    # TB scalars every 10 optimizer updates: each write forces a host fetch
+    # of the metric vector (a device-queue sync); the reference writes every
+    # update (train.py:217-224) but pays that sync anyway on its own fetches
+    TB_EVERY = 10 * max(1, params_dict["batch_multiply"])
+    from collections import deque
+    loss_hist: deque = deque(maxlen=100)   # (reg, nsp) at fetch points for
+    start_t = timer()                      # the "[100 mean r,n]" display
 
     profile_dir = os.path.join(params_dict["save_path"], "profile")
     for epoch_id in range(trainer.start_epoch, params_dict["num_epochs"]):
@@ -209,15 +214,14 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
                 log_line(params_dict, f"profiler trace saved to {profile_dir}")
             # fetch metrics to host only when something consumes them; the
             # device queue stays async between log points
-            need_tb = (tb_writer is not None
-                       and iter_id % params_dict["batch_multiply"] == 0)
+            need_tb = tb_writer is not None and iter_id % TB_EVERY == 0
             need_log = iter_id % PRINT_EVERY == 0
             if not (need_tb or need_log):
                 continue
             metrics = np.asarray(device_metrics)
             (total_loss, lm_loss, nsp_loss, reg_loss, reg_5_dist, leg_loss,
              num_regs, reg_5_right, reg_t_right) = metrics
-            loss_hist.append(total_loss)
+            loss_hist.append((reg_loss, nsp_loss))
             if need_tb:
                 tb_writer.add_scalar("Loss/Total Loss", total_loss, trainer.step)
                 tb_writer.add_scalar("Loss/nsp", nsp_loss, trainer.step)
@@ -232,17 +236,26 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
                 end_t = timer()
                 cur_epoch = epoch_id + iter_id / max(1, len(loader))
                 est = (len(loader) - iter_id) * (end_t - start_t) / PRINT_EVERY
+                hist = np.asarray(loss_hist)
                 log_line(params_dict,
                          "[Ep: %.2f][%s][lr: %.2e][Iter: %d][Time: %5.2fs]"
                          "[Est: %s][Loss: %.3g][NSP: %.3g][Reg: %.3g]"
-                         "[Regs: %d/%d][Reg_acc: %.2g | %.2g]" % (
+                         "[Regs: %d/%d][Reg_acc: %.2g | %.2g]"
+                         "[100 mean r,n: (%.3g , %.3g)]" % (
                              cur_epoch, strftime("%a %X", gmtime()),
-                             current_lr(params_dict, iters_per_epoch, trainer.step),
+                             # the schedule advances once per optimizer
+                             # UPDATE (optax.MultiSteps), not per mini-step
+                             current_lr(params_dict, iters_per_epoch,
+                                        trainer.step
+                                        // max(1, params_dict["batch_multiply"])),
                              trainer.step, end_t - start_t,
                              strftime("%H:%M", gmtime(est)), total_loss,
                              nsp_loss, reg_loss, num_regs,
-                             len(batch["R"]), reg_5_right / max(1, num_regs),
-                             reg_t_right / max(1, num_regs)))
+                             # metrics are global (psum); so is the row count
+                             len(batch["R"]) * jax.process_count(),
+                             reg_5_right / max(1, num_regs),
+                             reg_t_right / max(1, num_regs),
+                             hist[:, 0].mean(), hist[:, 1].mean()))
                 start_t = end_t
 
         log_line(params_dict, "Epoch Time: "

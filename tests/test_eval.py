@@ -171,3 +171,16 @@ def test_reduce_breakdown_matches_loop_reference():
     got = reduce_breakdown(np.zeros((5, 4, 3, 3), np.float64), ds, batch,
                            correct, t_correct, needs_reg)
     np.testing.assert_array_equal(got, want)
+
+
+def test_segmented_argmax_empty_segment():
+    """Empty segments (num_ans == 0) return 0 instead of reading the next
+    segment's rows (np.reduceat semantics on equal adjacent offsets)."""
+    from crct_tpu.train.eval_loop import segmented_argmax
+    vals = np.asarray([0.1, 0.9, 0.3])
+    offsets = np.asarray([0, 2, 2, 3])
+    got = segmented_argmax(vals, offsets)
+    np.testing.assert_array_equal(got, [1, 0, 0])
+    # all-empty and zero-length inputs stay well-defined
+    np.testing.assert_array_equal(
+        segmented_argmax(np.asarray([]), np.asarray([0, 0, 0])), [0, 0])
