@@ -224,17 +224,18 @@ def bench_e2e_charts(n_chips: int) -> dict:
 
         import jax.numpy as jnp
 
-        def detect_one(dparams, image):
-            out = detector.apply({"params": dparams}, image, train=False,
-                                 compute_masks=False)
-            full = jnp.asarray([[0.0, 0.0, IMG, IMG]])
-            img_feat = detector.apply({"params": dparams}, image, full,
-                                      method=MaskRCNN.extract_roi_features)
+        def detect_one(dparams, image, wh):
+            img_box = jnp.stack([jnp.zeros((), jnp.float32),
+                                 jnp.zeros((), jnp.float32),
+                                 wh[1], wh[0]])[None, :]
+            out = detector.apply({"params": dparams}, image, img_box,
+                                 method=MaskRCNN.detect_with_roi_features)
+            img_feat = out.pop("roi_features")
             return out, img_feat[0]
 
         # all images in ONE vmapped device dispatch (like the extract CLI's
         # --infer-batch): amortizes tunnel latency, fills the chip
-        detect_batch = jax.jit(jax.vmap(detect_one, in_axes=(None, 0)))
+        detect_batch = jax.jit(jax.vmap(detect_one, in_axes=(None, 0, 0)))
 
         dummy = jnp.zeros((IMG, IMG, 3), jnp.float32)
         dvars = jax.jit(lambda r: detector.init(r, dummy, train=False))(
@@ -255,7 +256,10 @@ def bench_e2e_charts(n_chips: int) -> dict:
                 padded = np.zeros((IMG, IMG, 3), np.float32)
                 padded[:raw.shape[0], :raw.shape[1]] = norm[:IMG, :IMG]
                 stack.append(padded)
-            det_out = batched_detect(detect_batch, dparams, stack, n_images)
+            whs = [np.asarray([min(h, IMG), min(w, IMG)], np.float32)
+                   for h, w in sizes]
+            det_out = batched_detect(detect_batch, dparams, stack,
+                                     n_images, whs)
             records = []
             for (img_path, (h, w), (out, img_feat)) in zip(files, sizes,
                                                            det_out):

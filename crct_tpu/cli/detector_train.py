@@ -54,15 +54,18 @@ def main(argv=None):
 
     with_mask = args.dataset == "plotqa"
     depth = 101 if args.dataset == "figure_qa" else 50
+    # stride convention AND pixel normalization follow the weights file's
+    # layout (Detectron2 model-zoo = Caffe2 stride-in-1x1 + mean-only BGR
+    # stats folded to RGB by the converter; torchvision = stride-on-3x3 +
+    # ImageNet mean/std)
+    from crct_tpu.detector.convert import detector_file_meta
+    meta = detector_file_meta(args.load_weights)
+    stride_in_1x1 = meta["stride_in_1x1"]
     ds = CocoDataset(args.annotations, args.image_dir,
                      max_boxes=args.max_boxes, max_size=args.image_size,
-                     with_masks=with_mask)
+                     with_masks=with_mask, pixel_mean=meta["pixel_mean"],
+                     pixel_std=meta["pixel_std"])
     print(f"{len(ds)} images, {len(ds.categories)} classes")
-
-    # stride convention follows the weights file's layout (Detectron2
-    # model-zoo = Caffe2 stride-in-1x1, torchvision = stride-on-3x3)
-    from crct_tpu.detector.convert import detector_file_meta
-    stride_in_1x1 = detector_file_meta(args.load_weights)["stride_in_1x1"]
     freeze_at = args.freeze_at
     if freeze_at is None:
         freeze_at = 2 if args.load_weights else 0

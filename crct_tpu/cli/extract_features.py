@@ -42,7 +42,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    from crct_tpu.detector.coco import PIXEL_MEAN, PIXEL_STD
     from crct_tpu.detector.extract import (build_feature_record, chunk_gen,
                                            get_gt_texts, get_nonvis_ids,
                                            inject_img_token, path_to_img_id,
@@ -57,28 +56,34 @@ def main(argv=None):
             gt_ann = json.load(f)
 
     from crct_tpu.detector.convert import detector_file_meta
-    stride_in_1x1 = (args.load_weights != "none" and
-                     detector_file_meta(args.load_weights)["stride_in_1x1"])
+    meta = detector_file_meta(
+        args.load_weights if args.load_weights != "none" else "")
+    stride_in_1x1 = meta["stride_in_1x1"]
+    pixel_mean = np.asarray(meta["pixel_mean"], np.float32)
+    pixel_std = np.asarray(meta["pixel_std"], np.float32)
     model = MaskRCNN(num_classes=args.num_classes,
                      with_mask=args.dataset == "plotqa",
                      depth=101 if args.dataset == "figure_qa" else 50,
                      stride_in_1x1=stride_in_1x1)
 
-    def detect_one(params, image):
-        # masks are never written to feature records; skipping the mask
-        # branch saves the 14x14 RoIAlign + head and a [K,28,28,C]
-        # device->host transfer per image
-        out = model.apply({"params": params}, image, train=False,
-                          compute_masks=False)
-        full = jnp.asarray([[0.0, 0.0, image.shape[1], image.shape[0]]])
-        img_feat = model.apply({"params": params}, image, full,
-                               method="extract_roi_features")
+    def detect_one(params, image, wh):
+        # one backbone/FPN pass yields both the detections and the <IMG>
+        # whole-image token feature, pooled over the REAL image extent
+        # [0, 0, w, h] (the reference pools the original image box,
+        # extract_features.py:54-72 — not the zero-padded canvas). Masks
+        # are never written to feature records, so the branch is skipped.
+        img_box = jnp.stack([jnp.zeros((), jnp.float32),
+                             jnp.zeros((), jnp.float32),
+                             wh[1], wh[0]])[None, :]
+        out = model.apply({"params": params}, image, img_box,
+                          method="detect_with_roi_features")
+        img_feat = out.pop("roi_features")
         return out, img_feat[0]
 
     # batched inference: vmap over images, one device dispatch per
     # --infer-batch (the reference runs Detectron2 image-by-image;
     # batching amortizes dispatch latency and fills the chip)
-    detect_batch = jax.jit(jax.vmap(detect_one, in_axes=(None, 0)))
+    detect_batch = jax.jit(jax.vmap(detect_one, in_axes=(None, 0, 0)))
 
     # init + restore
     dummy = jnp.zeros((args.image_size, args.image_size, 3), jnp.float32)
@@ -108,15 +113,17 @@ def main(argv=None):
         for img_path in chunk_files:
             raw = np.asarray(Image.open(img_path).convert("RGB"), np.float32)
             sizes.append(raw.shape[:2])
-            norm = (raw - PIXEL_MEAN) / PIXEL_STD
+            norm = (raw - pixel_mean) / pixel_std
             padded = np.zeros((args.image_size, args.image_size, 3),
                               np.float32)
             padded[:raw.shape[0], :raw.shape[1]] = \
                 norm[:args.image_size, :args.image_size]
             raws.append((padded, raw))
         from crct_tpu.detector.extract import batched_detect
+        whs = [np.asarray([min(h, args.image_size), min(w, args.image_size)],
+                          np.float32) for h, w in sizes]
         det_out = batched_detect(detect_batch, params,
-                                 [p for p, _ in raws], IB)
+                                 [p for p, _ in raws], IB, whs)
         for (img_path, (h, w), (out, img_feat), (_, raw)) in zip(
                 chunk_files, sizes, det_out, raws):
             valid = np.asarray(out["valid"])

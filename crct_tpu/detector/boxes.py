@@ -99,10 +99,16 @@ def match_anchors(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     best_iou = jnp.max(ious, axis=1)
     label = jnp.where(best_iou >= pos_thr, 1,
                       jnp.where(best_iou < neg_thr, 0, -1))
-    # force-match the best anchor of each GT
+    # force-match the best anchor of each GT. Invalid (padding) GTs must be
+    # dropped from the scatter, not scattered as False: their argmax all
+    # lands on anchor 0 and a duplicate-index .set(False) would clobber a
+    # valid GT whose best anchor is also 0 (index 0 is the top NMS proposal
+    # in the RoI-head match, so that collision is common).
     best_anchor_per_gt = jnp.argmax(ious, axis=0)         # [M]
-    forced = jnp.zeros(anchors.shape[0], bool).at[best_anchor_per_gt].set(
-        gt_valid)
+    n = anchors.shape[0]
+    scatter_idx = jnp.where(gt_valid, best_anchor_per_gt, n)  # n -> dropped
+    forced = jnp.zeros(n, bool).at[scatter_idx].set(
+        True, mode="drop")
     label = jnp.where(forced, 1, label)
     return best_gt, label
 

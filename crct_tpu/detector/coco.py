@@ -27,7 +27,9 @@ class CocoDataset:
 
     def __init__(self, annotations_path: str, image_dir: str, *,
                  max_boxes: int = 100, short_edge: int = 800,
-                 max_size: int = 1344, with_masks: bool = False):
+                 max_size: int = 1344, with_masks: bool = False,
+                 pixel_mean: Optional[Sequence[float]] = None,
+                 pixel_std: Optional[Sequence[float]] = None):
         # comma-separated annotation jsons concatenate (the reference
         # registers plotqa_train1..3 as one training set, frcnn.py:91-93)
         paths = str(annotations_path).split(",")
@@ -39,6 +41,12 @@ class CocoDataset:
             coco["images"] += more["images"]
             coco["annotations"] += more["annotations"]
         self.image_dir = image_dir
+        # normalization must match the pretrained weights' convention
+        # (detector_file_meta): mean-only for Caffe2-heritage zoo weights
+        self.pixel_mean = np.asarray(
+            PIXEL_MEAN if pixel_mean is None else pixel_mean, np.float32)
+        self.pixel_std = np.asarray(
+            PIXEL_STD if pixel_std is None else pixel_std, np.float32)
         self.max_boxes = max_boxes
         self.short_edge = short_edge
         self.max_size = max_size
@@ -76,7 +84,7 @@ class CocoDataset:
         img = np.asarray(
             Image.fromarray(img.astype(np.uint8)).resize(
                 (nw, nh), Image.BILINEAR), np.float32)
-        img = (img - PIXEL_MEAN) / PIXEL_STD
+        img = (img - self.pixel_mean) / self.pixel_std
         padded = np.zeros((self.max_size, self.max_size, 3), np.float32)
         padded[:nh, :nw] = img
 
@@ -137,7 +145,6 @@ def average_precision(recalls: np.ndarray, precisions: np.ndarray) -> float:
     vals = np.where(idx < len(prec_env), prec_env[np.minimum(idx,
                                                              len(prec_env) - 1)],
                     0.0)
-    vals = np.where(idx < len(prec_env), vals, 0.0)
     return float(np.mean(vals))
 
 

@@ -107,8 +107,29 @@ def convert_detector_state_dict(sd: Dict[str, Any]
     for base, p in groups.items():
         if not _convert_group(tree, base, p):
             skipped.append(base)
-    meta = {"stride_in_1x1": detectron2}
+    if detectron2 and "stem_conv" in tree.get("backbone", {}):
+        # Caffe2-heritage zoo weights expect BGR input; flipping the stem
+        # conv's input channels makes the converted model consume RGB like
+        # the rest of the pipeline
+        k = tree["backbone"]["stem_conv"]["kernel"]     # HWIO
+        tree["backbone"]["stem_conv"]["kernel"] = k[:, :, ::-1, :].copy()
+    meta = _layout_meta(detectron2)
     return tree, skipped, meta
+
+
+def _layout_meta(detectron2: bool) -> Dict[str, Any]:
+    """Model-build + preprocessing facts implied by a weights layout.
+    Caffe2-heritage Detectron2 zoo models: stride-in-1x1 blocks and
+    mean-subtraction-only normalization (std 1; means here in RGB order
+    since the converter flips the stem to RGB). torchvision layout keeps
+    the ImageNet mean/std convention."""
+    if detectron2:
+        return {"stride_in_1x1": True,
+                "pixel_mean": [123.675, 116.28, 103.53],
+                "pixel_std": [1.0, 1.0, 1.0]}
+    return {"stride_in_1x1": False,
+            "pixel_mean": [123.675, 116.28, 103.53],
+            "pixel_std": [58.395, 57.12, 57.375]}
 
 
 def _resnet_dest(tree: Dict) -> Dict:
@@ -228,15 +249,17 @@ def load_detector_torch_file(path: str) -> Dict[str, Any]:
 
 def detector_file_meta(path: str) -> Dict[str, Any]:
     """Meta for a weights file BEFORE the model is constructed — the stride
-    convention must inform the ResNet build (see module NOTE), not be
+    convention must inform the ResNet build and the pixel normalization
+    must match the weights' training convention (see _layout_meta), not be
     guessed from the file extension (torchvision ``.pth`` backbones need
-    stride-on-3x3, Detectron2 ``.pth``/``.pkl`` need stride-in-1x1)."""
+    stride-on-3x3 + ImageNet std, Detectron2 ``.pth``/``.pkl`` need
+    stride-in-1x1 + mean-only)."""
     if not path or not path.endswith((".pkl", ".pth", ".bin")):
-        return {"stride_in_1x1": False}
+        return _layout_meta(False)
     sd = load_detector_torch_file(path)
     detectron2 = any(k.startswith(("backbone.bottom_up", "roi_heads."))
                      for k in sd)
-    return {"stride_in_1x1": detectron2}
+    return _layout_meta(detectron2)
 
 
 def restore_detector_params(init_params: Any, path: str,
@@ -245,7 +268,7 @@ def restore_detector_params(init_params: Any, path: str,
     torch/Detectron2 file (sniffed by content). Returns (params, meta)."""
     from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
 
-    meta: Dict[str, Any] = {"stride_in_1x1": False}
+    meta: Dict[str, Any] = _layout_meta(False)
     if path.endswith((".pkl", ".pth", ".bin")):
         sd = load_detector_torch_file(path)
         tree, skipped, meta = convert_detector_state_dict(sd)

@@ -302,12 +302,15 @@ def get_gt_texts(annotation: Dict[str, Any], cls_dict: Dict[str, Any],
 # detection -> record
 # ---------------------------------------------------------------------------
 
-def batched_detect(detect_batch, params, padded_images, infer_batch: int):
+def batched_detect(detect_batch, params, padded_images, infer_batch: int,
+                   *extra_arrays):
     """Dispatch padded [H,W,3] images through a jitted vmapped detector in
     fixed ``infer_batch``-size groups (short groups pad with the last image
     so one compiled shape serves the run); ONE device_get per group.
-    Returns per-image (out tree, img_feat) in input order — the shared
-    inner loop of the extract CLI, the e2e bench and smoke paths."""
+    ``extra_arrays``: per-image sequences (e.g. real [h, w] extents) passed
+    as additional vmapped arguments. Returns per-image (out tree, img_feat)
+    in input order — the shared inner loop of the extract CLI, the e2e
+    bench and smoke paths."""
     import jax
     import jax.numpy as jnp
 
@@ -316,8 +319,12 @@ def batched_detect(detect_batch, params, padded_images, infer_batch: int):
         group = list(padded_images[s:s + infer_batch])
         npad = infer_batch - len(group)
         stack = np.stack(group + [group[-1]] * npad)
+        extras = []
+        for arr in extra_arrays:
+            g = list(arr[s:s + infer_batch])
+            extras.append(jnp.asarray(np.stack(g + [g[-1]] * npad)))
         out, img_feat = jax.device_get(
-            detect_batch(params, jnp.asarray(stack)))
+            detect_batch(params, jnp.asarray(stack), *extras))
         for j in range(len(group)):
             results.append((jax.tree.map(lambda x: x[j], out), img_feat[j]))
     return results

@@ -75,26 +75,8 @@ class MaskRCNN(nn.Module):
             logits, deltas, anchors, (H, W), post_nms_topk=topk)
 
         if not train:
-            pooled = multilevel_roi_align(p_feats[:4], proposals,
-                                          strides=ROI_STRIDES, output_size=7)
-            feats = self.box_head(pooled)
-            scores, box_deltas = self.box_predictor(feats)
-            det_boxes, det_scores, det_classes, det_valid, kept_rows = \
-                box_head_inference(scores, box_deltas, proposals,
-                                   prop_valid.astype(scores.dtype), (H, W))
-            out = {"boxes": det_boxes, "scores": det_scores,
-                   "classes": det_classes, "valid": det_valid,
-                   "features": feats[kept_rows],
-                   "proposals": proposals, "proposal_valid": prop_valid}
-            # feature extraction only needs boxes + box-head features; the
-            # mask branch (RoIAlign 14x14 + 4 convs + a [K,28,28,C] output
-            # that would ride the host link) is skippable per call
-            if self.with_mask and compute_masks:
-                mask_pooled = multilevel_roi_align(
-                    p_feats[:4], det_boxes, strides=ROI_STRIDES,
-                    output_size=14)
-                out["mask_logits"] = self.mask_head(mask_pooled)
-            return out
+            return self._infer(p_feats, proposals, prop_valid, (H, W),
+                               compute_masks)
 
         # ---- training path ------------------------------------------------
         assert rng is not None and gt_boxes is not None
@@ -148,6 +130,53 @@ class MaskRCNN(nn.Module):
                                        fg_w[fg_first])
         losses["total"] = sum(losses.values())
         return losses
+
+    def _infer(self, p_feats, proposals, prop_valid, hw,
+               compute_masks: bool):
+        """Inference tail shared by __call__ and detect_with_roi_features."""
+        pooled = multilevel_roi_align(p_feats[:4], proposals,
+                                      strides=ROI_STRIDES, output_size=7)
+        feats = self.box_head(pooled)
+        scores, box_deltas = self.box_predictor(feats)
+        det_boxes, det_scores, det_classes, det_valid, kept_rows = \
+            box_head_inference(scores, box_deltas, proposals,
+                               prop_valid.astype(scores.dtype), hw)
+        out = {"boxes": det_boxes, "scores": det_scores,
+               "classes": det_classes, "valid": det_valid,
+               "features": feats[kept_rows],
+               "proposals": proposals, "proposal_valid": prop_valid}
+        # feature extraction only needs boxes + box-head features; the
+        # mask branch (RoIAlign 14x14 + 4 convs + a [K,28,28,C] output
+        # that would ride the host link) is skippable per call
+        if self.with_mask and compute_masks:
+            mask_pooled = multilevel_roi_align(
+                p_feats[:4], det_boxes, strides=ROI_STRIDES,
+                output_size=14)
+            out["mask_logits"] = self.mask_head(mask_pooled)
+        return out
+
+    def detect_with_roi_features(self, image: jnp.ndarray,
+                                 extra_boxes: jnp.ndarray, *,
+                                 compute_masks: bool = False):
+        """Inference plus box-head features for caller-supplied boxes from
+        ONE backbone/FPN pass — the extractor's <IMG>-token path
+        (extract_features.py:54-100) without running the trunk twice.
+        Returns the inference dict with ``roi_features`` [K, fc_dim]
+        appended."""
+        H, W = image.shape[0], image.shape[1]
+        p_feats = self.features(image)
+        logits, deltas = self.rpn_head(p_feats)
+        anchors = level_anchors([f.shape[:2] for f in p_feats])
+        proposals, _, prop_valid = propose(
+            logits, deltas, anchors, (H, W),
+            post_nms_topk=self.post_nms_topk_test)
+        out = self._infer(p_feats, proposals, prop_valid, (H, W),
+                          compute_masks)
+        extra_pooled = multilevel_roi_align(p_feats[:4], extra_boxes,
+                                            strides=ROI_STRIDES,
+                                            output_size=7)
+        out["roi_features"] = self.box_head(extra_pooled)
+        return out
 
     def extract_roi_features(self, image: jnp.ndarray, boxes: jnp.ndarray
                              ) -> jnp.ndarray:

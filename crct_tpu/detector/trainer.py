@@ -24,17 +24,46 @@ SOLVER_STEPS = (10000, 20000, 30000, 40000, 50000, 60000, 70000)
 
 
 def detector_lr_schedule(base_lr: float = 2.5e-4, gamma: float = 0.1,
-                         steps=SOLVER_STEPS):
+                         steps=SOLVER_STEPS, warmup_iters: int = 1000,
+                         warmup_factor: float = 1e-3):
+    """Step decay with Detectron2's default linear warmup
+    (WarmupMultiStepLR: factor 1/1000 over the first 1000 iters), which the
+    reference solver config inherits."""
     bounds = {int(s): gamma for s in steps}
-    return optax.piecewise_constant_schedule(base_lr, bounds)
+    decay = optax.piecewise_constant_schedule(base_lr, bounds)
+
+    def schedule(step):
+        alpha = jnp.minimum(jnp.asarray(step, jnp.float32) / warmup_iters,
+                            1.0)
+        warm = warmup_factor * (1.0 - alpha) + alpha
+        return decay(step) * warm
+
+    return schedule
+
+
+def _param_labels(params):
+    """FrozenBN statistics/affines are constants (Detectron2
+    FrozenBatchNorm2d buffers): route them to set_to_zero so neither the
+    SGD update nor weight decay touches them — decay alone would pull
+    pretrained var toward zero."""
+    import jax
+
+    def label(path, _):
+        frozen = any("bn" in getattr(k, "key", "") for k in path)
+        return "frozen" if frozen else "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
 
 
 def make_detector_optimizer(base_lr: float = 2.5e-4,
                             weight_decay: float = 1e-4,
                             momentum: float = 0.9):
-    return optax.chain(
-        optax.add_decayed_weights(weight_decay),
-        optax.sgd(detector_lr_schedule(base_lr), momentum=momentum),
+    return optax.multi_transform(
+        {"train": optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.sgd(detector_lr_schedule(base_lr), momentum=momentum)),
+         "frozen": optax.set_to_zero()},
+        _param_labels,
     )
 
 

@@ -140,8 +140,12 @@ def test_resnet50_feature_map_parity(layout, stride_in_1x1):
                                                   jnp.asarray(img)))
     got = model.apply({"params": tree["backbone"]}, jnp.asarray(img))
     del want_tree
+    # Detectron2/Caffe2-heritage weights see BGR input; the converter flips
+    # the stem conv so the flax model consumes RGB — the torch original must
+    # therefore see the channel-reversed image to agree
+    torch_img = img[..., ::-1].copy() if layout == "detectron2" else img
     with torch.no_grad():
-        want = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        want = tm(torch.from_numpy(torch_img.transpose(0, 3, 1, 2)))
     for c_flax, c_torch in zip(got, want):
         np.testing.assert_allclose(
             np.asarray(c_flax), c_torch.numpy().transpose(0, 2, 3, 1),
