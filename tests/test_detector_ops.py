@@ -129,3 +129,36 @@ def test_nms_fixed_output_shape():
     idx, valid = nms(boxes, scores, max_outputs=16)
     assert idx.shape == (16,) and valid.shape == (16,)
     assert np.asarray(valid)[0] and not np.any(np.asarray(valid)[1:])
+
+
+def test_multilevel_roi_align_custom_vjp_matches_autodiff():
+    """The dense-einsum backward must equal autodiff through the gather
+    forward on every pyramid level (and send no gradient to boxes)."""
+    import jax
+    import jax.numpy as jnp
+    from crct_tpu.ops.roi_align import _mlra_forward
+
+    rng = np.random.default_rng(7)
+    feats = tuple(jnp.asarray(rng.normal(
+        size=(32 // (2 ** l), 32 // (2 ** l), 8)).astype(np.float32))
+        for l in range(4))
+    raw = np.sort(rng.random((12, 2, 2), np.float32) * 300, axis=1)
+    boxes = jnp.asarray(np.concatenate([raw[:, 0], raw[:, 1]], -1))
+
+    def loss_custom(fs):
+        return jnp.sum(multilevel_roi_align(list(fs), boxes) ** 2)
+
+    def loss_ref(fs):
+        return jnp.sum(_mlra_forward(list(fs), boxes, (4, 8, 16, 32),
+                                     7, 2, 4, 224, 2, 5) ** 2)
+
+    np.testing.assert_allclose(np.asarray(loss_custom(feats)),
+                               np.asarray(loss_ref(feats)), rtol=1e-5)
+    g1 = jax.grad(loss_custom)(feats)
+    g2 = jax.grad(loss_ref)(feats)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    gb = jax.grad(lambda b: jnp.sum(
+        multilevel_roi_align(list(feats), b) ** 2))(boxes)
+    assert np.all(np.asarray(gb) == 0.0)
