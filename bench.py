@@ -41,10 +41,17 @@ def bench_eval(model, params, rng, n_chips: int) -> dict:
     from __graft_entry__ import _synthetic_step_batch
     from crct_tpu.train.eval_loop import make_eval_step
 
-    CHUNK = 480     # rows per compiled eval step (4 fully-padded questions)
+    import jax
+    from crct_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    CHUNK = 480 * n_chips   # rows per compiled eval step (480 = 4 fully-
     batch = _synthetic_step_batch(rng, B=CHUNK, L=124, R=44, vdim=1024,
                                   vocab=30522, cats=228)
     rows = {k: v for k, v in batch.items() if k != "next_sentence_labels"}
+    if n_chips > 1:         # padded questions/chip); rows shard like the
+        mesh = make_mesh()  # production evaluate() data-parallel path
+        rows = {k: jax.device_put(v, batch_sharding(mesh))
+                for k, v in rows.items()}
     eval_step = make_eval_step(model)
     out = eval_step(params, rows)
     np.asarray(out[0])          # fence (axon: host fetch only)
@@ -81,13 +88,11 @@ def bench_input_pipeline() -> dict:
                                division=8, n_questions=16, feat_dim=1024)
         # write the synthetic vocab to a file so the native C++ tokenizer
         # engages (the production path; pure Python is ~2x slower)
+        from crct_tpu.data.native import write_vocab_file
         from crct_tpu.data.tokenizer import WordPieceTokenizer
         synth = WordPieceTokenizer.synthetic()
-        vocab_path = os.path.join(td, "vocab.txt")
-        inv = {v: k for k, v in synth.vocab.items()}
-        with open(vocab_path, "w") as f:
-            for i in range(len(synth.vocab)):
-                f.write(inv[i] + "\n")
+        vocab_path = write_vocab_file(synth.vocab,
+                                      os.path.join(td, "vocab.txt"))
         params = default_params(
             figure_feat_path=cfg["figure_feat_path"],
             qa_parent_dir=cfg["qa_parent_dir"],
@@ -98,13 +103,15 @@ def bench_input_pipeline() -> dict:
         ds = ChartQADataset(params, ["train"])
         loader = DataLoader(ds, batch_size=80, shuffle=True, drop_last=True,
                             num_workers=1)
-        it = iter(loader)
-        next(it)                       # warm (lazy shard loads)
+        next(iter(loader))             # warm (lazy shard loads + native lib)
+        # the synthetic train split holds 1024 pairs (12 batches); loop
+        # epochs until the 2400-sample measurement budget is met
         n, t0 = 0, time.perf_counter()
-        for batch in it:
-            n += 80
-            if n >= 2400:
-                break
+        while n < 2400:
+            for batch in loader:
+                n += 80
+                if n >= 2400:
+                    break
         dt = time.perf_counter() - t0
         return {"input_pipeline_samples_per_sec_per_host": round(n / dt, 1)}
 
@@ -160,7 +167,7 @@ def bench_fast_scorer(cfg, rng, n_chips: int) -> dict:
     from crct_tpu.models.crct import CRCTModel
     from crct_tpu.train.eval_loop import FAST_CAND_TOKENS, make_fast_eval_step
 
-    B, C = 64, 120
+    B, C = 64 * n_chips, 120
     model = CRCTModel(config=cfg, categories=228, fast_scorer=True)
     rows = _synthetic_step_batch(rng, B=B, L=124, R=44, vdim=1024,
                                  vocab=30522, cats=228)
@@ -169,6 +176,10 @@ def bench_fast_scorer(cfg, rng, n_chips: int) -> dict:
     rows["cand_tokens"] = jnp.asarray(
         rng.integers(1, 30522, (B, C, FAST_CAND_TOKENS)), jnp.int32)
     rows["cand_valid"] = jnp.ones((B, C), jnp.float32)
+    if n_chips > 1:         # question rows shard over the local mesh
+        from crct_tpu.parallel.mesh import batch_sharding, make_mesh
+        sh = batch_sharding(make_mesh())
+        rows = {k: jax.device_put(v, sh) for k, v in rows.items()}
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.key(3)}, rows)
     step = make_fast_eval_step(model)
@@ -192,7 +203,6 @@ def bench_e2e_charts(n_chips: int) -> dict:
     import shutil
     import tempfile
 
-    from crct_tpu.cli import extract_features
     from crct_tpu.config import CRCTModelConfig, default_params
     from crct_tpu.data.dataset import ChartQADataset, DataLoader
     from crct_tpu.detector.synthetic_charts import generate_png_dataset
@@ -309,8 +319,9 @@ def bench_e2e_charts(n_chips: int) -> dict:
         extract_pass()
         qa_pass()
         dt = time.perf_counter() - t0
-        return {"e2e_charts_per_sec_per_chip":
-                round(n_images / dt / n_chips, 3)}
+        # the e2e pipeline runs on the default device (detector batch is
+        # vmapped, not mesh-sharded): report the measured chip's rate
+        return {"e2e_charts_per_sec_per_chip": round(n_images / dt, 3)}
     finally:
         shutil.rmtree(td, ignore_errors=True)
 

@@ -66,7 +66,8 @@ class NativeWordPieceTokenizer:
         vocab: Dict[str, int] = {}
         with open(vocab_file, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                t = line.rstrip("\n")
+                t = line.rstrip("\n").rstrip("\r")   # CRLF vocab parity
+                                                     # with the C++ reader
                 if t:
                     vocab[t] = i
         self.vocab = vocab

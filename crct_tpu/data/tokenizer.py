@@ -142,7 +142,7 @@ class WordPieceTokenizer:
         vocab: Dict[str, int] = {}
         with open(path, "r", encoding="utf-8") as f:
             for i, line in enumerate(f):
-                token = line.rstrip("\n")
+                token = line.rstrip("\n").rstrip("\r")  # CRLF vocab files
                 if token:
                     vocab[token] = i
         return cls(vocab, **kw)

@@ -71,24 +71,34 @@ inline void utf8_encode(uint32_t cp, std::string* out) {
 // ---- character classes (BERT basic tokenizer semantics) -------------------
 
 inline bool is_whitespace(uint32_t c) {
+  // Python parity: category Zs per _is_whitespace, PLUS U+2028/U+2029 —
+  // the pipeline's final str.split() splits on anything str.isspace(),
+  // which includes Zl/Zp (verified empirically against the Python path).
   return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 0xA0 ||
          c == 0x1680 || (c >= 0x2000 && c <= 0x200A) || c == 0x202F ||
          c == 0x205F || c == 0x3000 || c == 0x2028 || c == 0x2029;
 }
 
 inline bool is_control(uint32_t c) {
+  // Python parity (_is_control): category C* except \t \n \r. Covers Cc,
+  // the Cf format chars in these blocks, and the Cn gaps of U+2060..206F.
   if (c == '\t' || c == '\n' || c == '\r') return false;
   return c < 0x20 || c == 0x7F || (c >= 0x80 && c <= 0x9F) || c == 0xAD ||
-         (c >= 0x200B && c <= 0x200F) || c == 0xFEFF;
+         (c >= 0x200B && c <= 0x200F) || (c >= 0x202A && c <= 0x202E) ||
+         (c >= 0x2060 && c <= 0x206F) || c == 0xFEFF;
 }
 
 inline bool is_punct(uint32_t c) {
   if ((c >= 33 && c <= 47) || (c >= 58 && c <= 64) || (c >= 91 && c <= 96) ||
       (c >= 123 && c <= 126))
     return true;
-  // general Unicode punctuation blocks (subset adequate for chart text)
+  // general Unicode punctuation blocks, matching Python's category-P test
+  // over the ranges chart text realistically contains. U+2044 (fraction
+  // slash) and U+2052 are Sm, not P, so they stay in-word like Python.
+  if (c == 0x2044 || c == 0x2052) return false;
   return (c >= 0x2010 && c <= 0x2027) || (c >= 0x2030 && c <= 0x205E) ||
-         c == 0xB7 || c == 0xA1 || c == 0xBF || (c >= 0x3001 && c <= 0x3003) ||
+         c == 0xA1 || c == 0xA7 || c == 0xAB || c == 0xB6 || c == 0xB7 ||
+         c == 0xBB || c == 0xBF || (c >= 0x3001 && c <= 0x3003) ||
          (c >= 0xFF01 && c <= 0xFF0F) || (c >= 0xFF1A && c <= 0xFF20) ||
          (c >= 0xFF3B && c <= 0xFF40) || (c >= 0xFF5B && c <= 0xFF65);
 }
@@ -104,15 +114,20 @@ inline bool is_cjk(uint32_t c) {
 // text realistically contains). Returns 0 to drop the char.
 uint32_t fold_accent(uint32_t c) {
   if (c < 0xC0) return c;
+  // exactly the letters Python's NFD _strip_accents reduces: letters WITH a
+  // canonical decomposition. Stroke/non-decomposable letters (dj 0x111,
+  // hbar 0x127, dotless-i 0x131, kra 0x138, l-mid-dot 0x140, l-stroke
+  // 0x142, 'n 0x149, eng 0x14B, t-stroke 0x167, eth 0xF0, thorn 0xFE)
+  // stay unchanged there, so they must stay unchanged here too.
   static const struct { uint32_t lo, hi; char base; } kRanges[] = {
       {0xE0, 0xE5, 'a'}, {0xE8, 0xEB, 'e'}, {0xEC, 0xEF, 'i'},
       {0xF2, 0xF6, 'o'}, {0xF9, 0xFC, 'u'}, {0xFD, 0xFD, 'y'},
       {0xFF, 0xFF, 'y'}, {0xE7, 0xE7, 'c'}, {0xF1, 0xF1, 'n'},
-      {0x101, 0x105, 'a'}, {0x107, 0x10D, 'c'}, {0x10F, 0x111, 'd'},
-      {0x113, 0x11B, 'e'}, {0x11D, 0x123, 'g'}, {0x125, 0x127, 'h'},
-      {0x129, 0x131, 'i'}, {0x135, 0x135, 'j'}, {0x137, 0x138, 'k'},
-      {0x13A, 0x142, 'l'}, {0x144, 0x14B, 'n'}, {0x14D, 0x151, 'o'},
-      {0x155, 0x159, 'r'}, {0x15B, 0x161, 's'}, {0x163, 0x167, 't'},
+      {0x101, 0x105, 'a'}, {0x107, 0x10D, 'c'}, {0x10F, 0x10F, 'd'},
+      {0x113, 0x11B, 'e'}, {0x11D, 0x123, 'g'}, {0x125, 0x125, 'h'},
+      {0x129, 0x12F, 'i'}, {0x135, 0x135, 'j'}, {0x137, 0x137, 'k'},
+      {0x13A, 0x13E, 'l'}, {0x144, 0x148, 'n'}, {0x14D, 0x151, 'o'},
+      {0x155, 0x159, 'r'}, {0x15B, 0x161, 's'}, {0x163, 0x165, 't'},
       {0x169, 0x173, 'u'}, {0x175, 0x175, 'w'}, {0x177, 0x177, 'y'},
       {0x17A, 0x17E, 'z'},
   };
@@ -124,9 +139,20 @@ uint32_t fold_accent(uint32_t c) {
 }
 
 inline uint32_t to_lower(uint32_t c) {
+  // Unicode simple lowercase for ASCII / Latin-1 / Latin Extended-A,
+  // matching Python's str.lower(). Ext-A alternates pairing parity:
+  // U+0100-0x0137 and U+014A-0x0177 pair even->odd, U+0139-0x0148 and
+  // U+0179-0x017E pair odd->even+1; U+0178 (Y-diaeresis) maps to 0xFF.
+  // U+0130 maps straight to 'i': Python yields "i"+combining-dot and the
+  // accent strip that always follows lowercasing drops the dot.
   if (c >= 'A' && c <= 'Z') return c + 32;
   if (c >= 0xC0 && c <= 0xDE && c != 0xD7) return c + 0x20;  // Latin-1
-  if (c >= 0x100 && c <= 0x17F && (c % 2 == 0)) return c + 1;  // Ext-A pairs
+  if (c == 0x130) return 'i';  // Python: 'i'+combining dot, stripped later
+  if ((c >= 0x100 && c <= 0x137) || (c >= 0x14A && c <= 0x177))
+    return (c % 2 == 0) ? c + 1 : c;
+  if ((c >= 0x139 && c <= 0x148) || (c >= 0x179 && c <= 0x17E))
+    return (c % 2 == 1) ? c + 1 : c;
+  if (c == 0x178) return 0xFF;
   return c;
 }
 

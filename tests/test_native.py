@@ -78,3 +78,49 @@ def test_native_faster_than_python(vocab_env):
         native.encode(t)
     native_time = time.perf_counter() - t0
     assert native_time < py_time, (native_time, py_time)
+
+
+def test_native_unicode_parity_exhaustive(vocab_env):
+    """Single-char parity over Latin-1, Latin Extended-A, General
+    Punctuation and fullwidth ranges — pins the Unicode lowercase pairing
+    (odd-uppercase runs U+0139-0148 / U+0179-017E, U+0178->U+00FF,
+    U+0130->'i'), the NFD-faithful accent fold (stroke letters like
+    U+0142/U+0167 stay), and the category-P / Zs classification."""
+    py_tok, native = vocab_env
+    cps = (list(range(0x20, 0x180)) + list(range(0x2000, 0x2070))
+           + [0x3000, 0xFF01, 0xFF1A])
+    for cp in cps:
+        ch = chr(cp)
+        for text in (f"a{ch}b", f"{ch}x", f"12{ch}34", ch + ch):
+            assert native.encode(text) == py_tok.encode(text), hex(cp)
+
+
+def test_native_unicode_fuzz(vocab_env):
+    py_tok, native = vocab_env
+    import random
+    rng = random.Random(1)
+    alphabet = ([chr(c) for c in range(0xA0, 0x180)]
+                + [chr(c) for c in range(0x2000, 0x2070)]
+                + list("abcdefghij0123456789 .,-%$"))
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 30)))
+        assert native.encode(s) == py_tok.encode(s), repr(s)
+
+
+def test_crlf_vocab_file(vocab_env, tmp_path):
+    """CRLF vocab files resolve identical vocab/special ids in the C++
+    reader and both Python readers."""
+    py_tok, _ = vocab_env
+    lf = write_vocab_file(py_tok.vocab, str(tmp_path / "v.txt"))
+    crlf = str(tmp_path / "v_crlf.txt")
+    with open(lf, "rb") as f:
+        data = f.read().replace(b"\n", b"\r\n")
+    with open(crlf, "wb") as f:
+        f.write(data)
+    py2 = WordPieceTokenizer.from_vocab_file(crlf)
+    nat2 = NativeWordPieceTokenizer(crlf)
+    text = "hello world 42.5"
+    assert py2.encode(text) == nat2.encode(text) == py_tok.encode(text)
+    assert py2.vocab.get("[CLS]") == py_tok.vocab.get("[CLS]")
+    assert nat2.cls_id == py_tok.cls_id
