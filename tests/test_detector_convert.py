@@ -253,3 +253,27 @@ def test_restore_detector_params_from_pth(tmp_path):
     np.testing.assert_allclose(np.asarray(got[-1]),
                                want[-1].numpy().transpose(0, 2, 3, 1),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_detector_file_meta_layouts(tmp_path):
+    """The CLI-facing meta probe reports stride convention + pixel
+    normalization from the weights layout, not the file extension."""
+    from crct_tpu.detector.convert import detector_file_meta
+
+    tv = {"conv1.weight": torch.zeros(64, 3, 7, 7)}
+    d2 = {"backbone.bottom_up.stem.conv1.weight": torch.zeros(64, 3, 7, 7)}
+    tv_path, d2_path = str(tmp_path / "tv.pth"), str(tmp_path / "d2.pth")
+    torch.save(tv, tv_path)
+    torch.save(d2, d2_path)
+
+    m_tv = detector_file_meta(tv_path)
+    assert not m_tv["stride_in_1x1"]
+    assert m_tv["pixel_std"] == [58.395, 57.12, 57.375]
+
+    m_d2 = detector_file_meta(d2_path)
+    assert m_d2["stride_in_1x1"]
+    assert m_d2["pixel_std"] == [1.0, 1.0, 1.0]
+
+    # non-torch paths (crct checkpoints, empty) -> torchvision-style default
+    assert not detector_file_meta("")["stride_in_1x1"]
+    assert not detector_file_meta("x.ckpt")["stride_in_1x1"]
