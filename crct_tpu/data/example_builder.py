@@ -374,10 +374,28 @@ class ExampleBuilder:
     # ------------------------------------------------------------------
     # full example assembly
     # ------------------------------------------------------------------
+    @staticmethod
+    def _cow_fig_feat(fig_feat: Dict[str, Any]) -> Dict[str, Any]:
+        """Copy-on-write view of a cached feature record. The ONLY in-place
+        mutations on the tree are apply_hbar_transpose's axis swaps (the
+        text_feat mapping + the two axis dicts) and the vis_bbox
+        reassignment, so those three dicts are copied and the large arrays
+        (vis_feat [N,1024], vis_bbox, class) stay shared — a full deepcopy
+        here was ~30% of builder time."""
+        out = dict(fig_feat)
+        tf = fig_feat.get('text_feat')
+        if isinstance(tf, dict):
+            new_tf = dict(tf)
+            for k in ('x_axis', 'y_axis'):
+                if isinstance(new_tf.get(k), dict):
+                    new_tf[k] = dict(new_tf[k])
+            out['text_feat'] = new_tf
+        return out
+
     def get_possible_answers(self, fig_feat: Dict[str, Any]) -> List[str]:
         """All candidate strings for a chart: its texts + fixed vocab
         (fig_dataloader.py:443-459)."""
-        fig_feat = copy.deepcopy(fig_feat)
+        fig_feat = self._cow_fig_feat(fig_feat)
         is_hbar = self.params['dataset'] != 'dvqa' and self.is_hbar(fig_feat)
         if is_hbar:
             self.apply_hbar_transpose(fig_feat, self.params['hbar_bbox_t'])
@@ -393,7 +411,7 @@ class ExampleBuilder:
         """Full __getitem__ equivalent (fig_dataloader.py:425-695)."""
         params = self.params
         rng = rng or np.random.default_rng(0)
-        fig_feat = copy.deepcopy(fig_feat)
+        fig_feat = self._cow_fig_feat(fig_feat)
         text_feat = fig_feat['text_feat']
         train = split == 'train' and not get_all_answers
 

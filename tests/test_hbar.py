@@ -109,3 +109,27 @@ def test_cut_batch_padding_parity(tmp_path):
     ds.cut_batch_padding(batch)
     assert batch["tokens"].shape[0] == n_total
     assert batch["image_feat"].shape[0] == n_total
+
+
+def test_build_does_not_mutate_cached_record(builder):
+    """build() must leave the (shard-cached, shared-across-samples) record
+    untouched — the copy-on-write replacement for deepcopy relies on every
+    in-place mutation site being covered. Repeated builds of an hbar chart
+    (the mutating path: axis swap + bbox transpose) must be identical."""
+    import copy
+    b, params = builder
+    fig = _bar_fig(horizontal=True)
+    snapshot = copy.deepcopy(fig)
+    qa = {"image_index": 0, "question_string": "What is one?",
+          "answer": "two", "qid": "D0", "type": "vbar"}
+    rng = np.random.default_rng(0)
+    first = b.build(fig, qa, split="train", rng=np.random.default_rng(1))
+    for _ in range(3):
+        again = b.build(fig, qa, split="train", rng=np.random.default_rng(1))
+        np.testing.assert_array_equal(first["tokens"], again["tokens"])
+        np.testing.assert_array_equal(first["loc"], again["loc"])
+        np.testing.assert_array_equal(first["image_loc"], again["image_loc"])
+    # the record itself is bit-identical to before any build
+    np.testing.assert_array_equal(fig["vis_bbox"], snapshot["vis_bbox"])
+    np.testing.assert_array_equal(fig["vis_feat"], snapshot["vis_feat"])
+    assert fig["text_feat"] == snapshot["text_feat"]
