@@ -100,11 +100,13 @@ def main(argv=None):
                 pos = 0
             idx.append(int(order[pos]))
             pos += 1
-        batch = {k: np.stack([ds[i][k] for i in idx])
-                 for k in ("image", "gt_boxes", "gt_classes", "gt_valid")
-                 }
+        # one __getitem__ per index (each call decodes + resizes the PNG and
+        # rasterizes mask targets — fetching per-key repeated all of it)
+        examples = [ds[i] for i in idx]
+        keys = ("image", "gt_boxes", "gt_classes", "gt_valid")
         if with_mask:
-            batch["gt_masks28"] = np.stack([ds[i]["gt_masks28"] for i in idx])
+            keys += ("gt_masks28",)
+        batch = {k: np.stack([ex[k] for ex in examples]) for k in keys}
         losses = trainer.run_step(batch)
         if it % 20 == 0:
             msg = " ".join(f"{k}:{v:.4f}" for k, v in losses.items())
@@ -113,8 +115,19 @@ def main(argv=None):
         if (it + 1) % args.checkpoint_every == 0 or it + 1 == args.max_iter:
             import jax
             path = os.path.join(args.output_dir, f"detector_{it + 1}.ckpt")
+            # persist the build/preprocessing convention: a later
+            # extract_features --load-weights <this ckpt> must rebuild the
+            # same stride placement and pixel normalization
             save_checkpoint(path, jax.device_get(trainer.params),
-                            iter_id=it + 1)
+                            iter_id=it + 1, extra={"detector_meta": {
+                                "stride_in_1x1":
+                                    np.asarray(int(stride_in_1x1)),
+                                "pixel_mean":
+                                    np.asarray(meta["pixel_mean"],
+                                               np.float32),
+                                "pixel_std":
+                                    np.asarray(meta["pixel_std"],
+                                               np.float32)}})
             print(f"saved {path}")
 
 

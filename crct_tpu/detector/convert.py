@@ -230,9 +230,28 @@ def _convert_group(tree: Dict, base: str, p: Dict[str, Any]) -> bool:
     return False
 
 
+# last-loaded weights file, keyed by (abspath, mtime): detector_file_meta
+# runs before model construction and restore_detector_params right after —
+# without this the multi-hundred-MB file deserializes twice per CLI start
+_LOAD_CACHE: Dict[Tuple[str, float], Any] = {}
+
+
+def _cached(path: str, loader):
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    if key not in _LOAD_CACHE:
+        _LOAD_CACHE.clear()
+        _LOAD_CACHE[key] = loader()
+    return _LOAD_CACHE[key]
+
+
 def load_detector_torch_file(path: str) -> Dict[str, Any]:
     """Load a Detectron2 model-zoo ``.pkl`` ({"model": {...}}) or a torch
-    ``.pth``/``.bin`` state dict, returning {key: np.ndarray}."""
+    ``.pth``/``.bin`` state dict, returning {key: np.ndarray} (cached for
+    the meta-probe + restore double read)."""
+    return _cached(path, lambda: _load_detector_torch_file(path))
+
+
+def _load_detector_torch_file(path: str) -> Dict[str, Any]:
     if path.endswith(".pkl"):
         with open(path, "rb") as f:
             data = pickle.load(f, encoding="latin1")
@@ -254,7 +273,25 @@ def detector_file_meta(path: str) -> Dict[str, Any]:
     guessed from the file extension (torchvision ``.pth`` backbones need
     stride-on-3x3 + ImageNet std, Detectron2 ``.pth``/``.pkl`` need
     stride-in-1x1 + mean-only)."""
-    if not path or not path.endswith((".pkl", ".pth", ".bin")):
+    if not path:
+        return _layout_meta(False)
+    if not path.endswith((".pkl", ".pth", ".bin")):
+        # crct_tpu detector checkpoints persist the convention they were
+        # trained with (save path: cli/detector_train.py) — a fine-tune
+        # from Detectron2 zoo weights must extract with the same stride +
+        # normalization or features are silently garbage
+        try:
+            from crct_tpu.utils.checkpoint import load_checkpoint
+            loaded = _cached(path, lambda: load_checkpoint(path))
+            m = loaded.get("detector_meta")
+            if m is not None:
+                return {"stride_in_1x1": bool(np.asarray(m["stride_in_1x1"])),
+                        "pixel_mean": [float(x) for x in
+                                       np.asarray(m["pixel_mean"])],
+                        "pixel_std": [float(x) for x in
+                                      np.asarray(m["pixel_std"])]}
+        except Exception:
+            pass
         return _layout_meta(False)
     sd = load_detector_torch_file(path)
     detectron2 = any(k.startswith(("backbone.bottom_up", "roi_heads."))
@@ -268,7 +305,6 @@ def restore_detector_params(init_params: Any, path: str,
     torch/Detectron2 file (sniffed by content). Returns (params, meta)."""
     from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
 
-    meta: Dict[str, Any] = _layout_meta(False)
     if path.endswith((".pkl", ".pth", ".bin")):
         sd = load_detector_torch_file(path)
         tree, skipped, meta = convert_detector_state_dict(sd)
@@ -277,8 +313,8 @@ def restore_detector_params(init_params: Any, path: str,
                   f"(e.g. {skipped[:3]})")
         params, n = transfer_params(init_params, tree, verbose=verbose)
         return params, meta
-    loaded = load_checkpoint(path)
+    loaded = _cached(path, lambda: load_checkpoint(path))
     params, _ = transfer_params(init_params,
                                 loaded.get("model_state_dict", loaded),
                                 verbose=verbose)
-    return params, meta
+    return params, detector_file_meta(path)

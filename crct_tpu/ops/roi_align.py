@@ -202,6 +202,20 @@ def _mlra_backward(features, boxes, grad_pooled, strides, output_size,
     g = (grad_pooled[:, :, None, :, None, :] / float(S * S))
     g = jnp.broadcast_to(g, (N, P, S, P, S, C)).reshape(N, P * S, P * S, C)
 
+    # chunk the roi axis: the [chunk, H, P*S, C] einsum intermediate scales
+    # with image area (1.2 GB/level at 1344px for all 256 rois at once);
+    # a lax.scan accumulation bounds it while keeping the matmuls dense
+    CH = max(1, min(16, N))
+    G = -(-N // CH)
+    pad = G * CH - N
+
+    def chunked(x):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x.reshape((G, CH) + x.shape[1:])
+
+    g_r = chunked(g)
     grads = []
     for l, feat in enumerate(features):
         H, W = feat.shape[0], feat.shape[1]
@@ -214,8 +228,16 @@ def _mlra_backward(features, boxes, grad_pooled, strides, output_size,
         Wx = (geo["wx0"][..., None] * (geo["x0"][..., None] == iota_w)
               + geo["wx1"][..., None] * (geo["x1i"][..., None] == iota_w))
         Wy = Wy * on_l[..., None]
-        t = jnp.einsum("niy,nijc->nyjc", Wy, g)
-        grads.append(jnp.einsum("njx,nyjc->yxc", Wx, t))
+
+        def body(acc, xs):
+            wy_c, wx_c, g_c = xs
+            t = jnp.einsum("kiy,kijc->kyjc", wy_c, g_c)
+            return acc + jnp.einsum("kjx,kyjc->yxc", wx_c, t), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((H, W, C), g.dtype),
+            (chunked(Wy), chunked(Wx), g_r))
+        grads.append(acc)
     return tuple(grads)
 
 

@@ -449,11 +449,13 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             else:
                 answers_idx = segmented_argmax(nsp_probs, offsets)
             sel = np.minimum(starts + answers_idx, max(len(nsp_probs) - 1, 0))
-            ans_reg5 = reg5[sel]
-            ans_regl1 = regl1[sel]
-            ans_reg_out = reg_out[sel]
-            # a question with zero valid candidates can never be right
+            # a question with zero valid candidates can never be right, and
+            # its `sel` row belongs to another question — poison its
+            # regression outputs so the reg-accuracy counters skip it too
             nonempty = np.diff(offsets) > 0
+            ans_reg5 = np.where(nonempty, reg5[sel], np.inf)
+            ans_regl1 = np.where(nonempty, regl1[sel], np.inf)
+            ans_reg_out = np.where(nonempty, reg_out[sel], np.nan)
             nsp_right = (answers_idx == gt_id) & nonempty
         inf_time[1] += len(ids)
 

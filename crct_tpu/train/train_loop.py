@@ -196,8 +196,8 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
     # update (train.py:217-224) but pays that sync anyway on its own fetches
     TB_EVERY = 10 * max(1, params_dict["batch_multiply"])
     from collections import deque
-    loss_hist: deque = deque(maxlen=100)   # (reg, nsp) at fetch points for
-    start_t = timer()                      # the "[100 mean r,n]" display
+    loss_hist: deque = deque(maxlen=100)   # (reg, nsp) at metric-FETCH
+    start_t = timer()                      # points, for the run-mean display
 
     profile_dir = os.path.join(params_dict["save_path"], "profile")
     for epoch_id in range(trainer.start_epoch, params_dict["num_epochs"]):
@@ -241,7 +241,7 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
                          "[Ep: %.2f][%s][lr: %.2e][Iter: %d][Time: %5.2fs]"
                          "[Est: %s][Loss: %.3g][NSP: %.3g][Reg: %.3g]"
                          "[Regs: %d/%d][Reg_acc: %.2g | %.2g]"
-                         "[100 mean r,n: (%.3g , %.3g)]" % (
+                         "[run mean r,n: (%.3g , %.3g)]" % (
                              cur_epoch, strftime("%a %X", gmtime()),
                              # the schedule advances once per optimizer
                              # UPDATE (optax.MultiSteps), not per mini-step
