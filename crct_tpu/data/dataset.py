@@ -156,11 +156,12 @@ class ChartQADataset:
         fig_feat = self.get_fig_feat(qa_pair['image_index'])
         if self.params['dataset'] == 'figure_qa' and 'test' in self._split:
             # rewrite unseen color names via nearest detections
-            # (reference fig_dataloader.py:435-439)
-            import copy as _copy
+            # (reference fig_dataloader.py:435-439). feature_replace only
+            # reassigns qa_pair['question_string'] and the ticks/legend
+            # entries the COW copy already covers — no deepcopy needed
             from crct_tpu.data.figureqa import ColorMapping
-            qa_pair = _copy.deepcopy(qa_pair)
-            fig_feat = _copy.deepcopy(fig_feat)
+            qa_pair = dict(qa_pair)
+            fig_feat = self.builder._cow_fig_feat(fig_feat)
             ColorMapping().feature_replace(self.params, qa_pair, fig_feat)
         negative = self._split == 'train' and qa_ind >= self.orig_len()
         seed = (self.params.get('seed', 0) * 1_000_003 + qa_ind) & 0x7FFFFFFF

@@ -378,15 +378,16 @@ class ExampleBuilder:
     def _cow_fig_feat(fig_feat: Dict[str, Any]) -> Dict[str, Any]:
         """Copy-on-write view of a cached feature record. The ONLY in-place
         mutations on the tree are apply_hbar_transpose's axis swaps (the
-        text_feat mapping + the two axis dicts) and the vis_bbox
-        reassignment, so those three dicts are copied and the large arrays
-        (vis_feat [N,1024], vis_bbox, class) stay shared — a full deepcopy
-        here was ~30% of builder time."""
+        text_feat mapping + the two axis dicts), the vis_bbox reassignment,
+        and ColorMapping.feature_replace's ticks/legend-label reassignments,
+        so those dicts are copied and the large arrays (vis_feat [N,1024],
+        vis_bbox, class) stay shared — a full deepcopy here was ~30% of
+        builder time."""
         out = dict(fig_feat)
         tf = fig_feat.get('text_feat')
         if isinstance(tf, dict):
             new_tf = dict(tf)
-            for k in ('x_axis', 'y_axis'):
+            for k in ('x_axis', 'y_axis', 'legend'):
                 if isinstance(new_tf.get(k), dict):
                     new_tf[k] = dict(new_tf[k])
             out['text_feat'] = new_tf

@@ -165,3 +165,27 @@ def test_figureqa_areas_embedding_used():
     out1 = emb.apply(p, feats, loc, cls, areas)
     out2 = emb.apply(p, feats, loc, cls, areas * 2)
     assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-4
+
+
+def test_color_mapping_cow_leaves_record_unchanged():
+    """The dataset applies feature_replace to a copy-on-write view of the
+    shard-cached record (dataset.py __getitem__); the original must stay
+    bit-identical so later samples of the same chart see clean text."""
+    import copy
+
+    from crct_tpu.data.example_builder import ExampleBuilder
+
+    fig = _figqa_fig_feat()
+    snapshot = copy.deepcopy(fig)
+    params = {"question_templates": {"1": "Is $_c1_$ greater than $_c2_$?"}}
+    qa = {"color1_name": "old_name_a", "color2_name": "old_name_b",
+          "question_id": 0}
+    view = ExampleBuilder._cow_fig_feat(fig)
+    ColorMapping().feature_replace(params, dict(qa), view)
+    assert list(view["text_feat"]["legend"]["label"]) != \
+        list(fig["text_feat"]["legend"]["label"])
+    np.testing.assert_array_equal(fig["text_feat"]["legend"]["label"],
+                                  snapshot["text_feat"]["legend"]["label"])
+    for ax in ("x_axis", "y_axis"):
+        assert fig["text_feat"][ax]["ticks"] == \
+            snapshot["text_feat"][ax]["ticks"]
