@@ -16,7 +16,6 @@ global RNGs; distributions match).
 
 from __future__ import annotations
 
-import copy
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
