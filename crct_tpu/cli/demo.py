@@ -31,7 +31,7 @@ class PlotQAModel:
         self.dataset = dataset
         self.model = build_model(params)
         self.eval_step = make_eval_step(self.model)
-        self.chunk = max(1, params.get("eval_batch_size", 100))
+        self.chunk = max(1, params.get("eval_batch_size") or 100)
         self.model_params = None
 
     def _ensure_params(self, rows):

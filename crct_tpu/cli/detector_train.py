@@ -46,6 +46,11 @@ def main(argv=None):
                         "--load-weights (reference FREEZE_AT), else 0")
     p.add_argument("--test", action="store_true", help="evaluation only")
     p.add_argument("--eval-images", type=int, default=0)
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable train-time random hflip + multi-scale "
+                        "shortest-edge sampling (on by default, matching "
+                        "the Detectron2 INPUT pipeline the reference "
+                        "trainer inherits, frcnn.py:182-205)")
     args = p.parse_args(argv)
 
     from crct_tpu.detector.coco import CocoDataset
@@ -61,10 +66,14 @@ def main(argv=None):
     from crct_tpu.detector.convert import detector_file_meta
     meta = detector_file_meta(args.load_weights)
     stride_in_1x1 = meta["stride_in_1x1"]
+    augment = not (args.test or args.no_augment)
     ds = CocoDataset(args.annotations, args.image_dir,
                      max_boxes=args.max_boxes, max_size=args.image_size,
                      with_masks=with_mask, pixel_mean=meta["pixel_mean"],
-                     pixel_std=meta["pixel_std"])
+                     pixel_std=meta["pixel_std"], augment=augment)
+    if augment:
+        print(f"augmentation: hflip p=0.5 + short-edge {ds.train_scales} "
+              f"(fixed {args.image_size}px canvas: one compiled shape)")
     print(f"{len(ds)} images, {len(ds.categories)} classes")
     freeze_at = args.freeze_at
     if freeze_at is None:

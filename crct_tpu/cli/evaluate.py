@@ -68,7 +68,9 @@ def main(argv=None):
         print("-" * 20, f"Done Ids: {len(done_ids)}", "-" * 20, flush=True)
         indices = np.array(sorted(set(range(len(dataset))) - set(done_ids.tolist())))
 
-    loader = DataLoader(dataset, batch_size=max(1, params["eval_batch_size"]),
+    from crct_tpu.train.eval_loop import (resolve_eval_chunk,
+                                          resolve_eval_question_batch)
+    loader = DataLoader(dataset, batch_size=resolve_eval_question_batch(params),
                         shuffle=False, drop_last=False,
                         num_workers=params.get("num_workers", 8) or 1,
                         indices=indices,
@@ -86,7 +88,7 @@ def main(argv=None):
         rows = build_fast_rows(sample)
     else:
         rows, _ = _flatten_valid_rows(sample)
-    chunked, _ = next(_chunk_rows(rows, max(1, params["eval_batch_size"])))
+    chunked, _ = next(_chunk_rows(rows, resolve_eval_chunk(params)))
     model, model_params = load_eval_model(params, chunked)
 
     total, breakdown, histogram = evaluate(

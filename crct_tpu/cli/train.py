@@ -34,7 +34,8 @@ def in_train_eval(trainer, dataset, epoch_id):
     dataset.get_all_answers = True
     rng = np.random.default_rng(params.get("seed", 0) + epoch_id)
     idx = rng.permutation(len(dataset))[:500]
-    loader = DataLoader(dataset, batch_size=max(1, params["eval_batch_size"]),
+    from crct_tpu.train.eval_loop import resolve_eval_question_batch
+    loader = DataLoader(dataset, batch_size=resolve_eval_question_batch(params),
                         shuffle=False, num_workers=params.get("num_workers", 8) or 1,
                         drop_last=False, indices=idx)
     total, breakdown, _ = evaluate(

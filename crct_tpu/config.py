@@ -143,7 +143,10 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
     parser.add_argument('-mask_img_loc', type=float, default=0)
     parser.add_argument('-save_path', default='')
     parser.add_argument('-save_name', default='')
-    parser.add_argument('-eval_batch_size', default=10, type=int)
+    # None = auto-scale the eval dispatch to ~480 rows x chip count (the
+    # measured compute-bound point); pass an explicit value (the reference
+    # default was 10, CRCT/options.py) for protocol-parity runs
+    parser.add_argument('-eval_batch_size', default=None, type=int)
     # DDP-era flags kept for CLI compatibility; they now configure the mesh.
     parser.add_argument('-ddp', action='store_true',
                         help='shard training over all local devices')

@@ -25,11 +25,19 @@ PIXEL_STD = np.array([58.395, 57.12, 57.375], np.float32)
 class CocoDataset:
     """COCO-format annotations + images, fixed-shape examples."""
 
+    # Detectron2 zoo INPUT defaults the reference trainer inherits
+    # (Detector/frcnn.py:182-205 -> DefaultTrainer): random horizontal
+    # flip + multi-scale shortest-edge sampling
+    TRAIN_SCALES = (640, 672, 704, 736, 768, 800)
+
     def __init__(self, annotations_path: str, image_dir: str, *,
                  max_boxes: int = 100, short_edge: int = 800,
                  max_size: int = 1344, with_masks: bool = False,
                  pixel_mean: Optional[Sequence[float]] = None,
-                 pixel_std: Optional[Sequence[float]] = None):
+                 pixel_std: Optional[Sequence[float]] = None,
+                 augment: bool = False,
+                 train_scales: Optional[Sequence[int]] = None,
+                 aug_seed: int = 0):
         # comma-separated annotation jsons concatenate (the reference
         # registers plotqa_train1..3 as one training set, frcnn.py:91-93)
         paths = str(annotations_path).split(",")
@@ -51,6 +59,13 @@ class CocoDataset:
         self.short_edge = short_edge
         self.max_size = max_size
         self.with_masks = with_masks
+        # train-time augmentation: every sampled scale pads into the SAME
+        # (max_size, max_size) canvas, so the whole multi-scale schedule
+        # compiles exactly ONE train-step shape
+        self.augment = augment
+        self.train_scales = tuple(train_scales if train_scales is not None
+                                  else self.TRAIN_SCALES)
+        self.aug_rng = np.random.default_rng(aug_seed)
         self.categories = [c['name'] for c in coco.get('categories', [])]
         cat_ids = {c['id']: i for i, c in enumerate(coco.get('categories', []))}
         self.images = coco['images']
@@ -68,8 +83,9 @@ class CocoDataset:
         img = Image.open(os.path.join(self.image_dir, file_name))
         return np.asarray(img.convert("RGB"), np.float32)
 
-    def resize_factor(self, h: int, w: int) -> float:
-        scale = self.short_edge / min(h, w)
+    def resize_factor(self, h: int, w: int,
+                      short_edge: Optional[int] = None) -> float:
+        scale = (short_edge or self.short_edge) / min(h, w)
         if max(h, w) * scale > self.max_size:
             scale = self.max_size / max(h, w)
         return scale
@@ -78,12 +94,19 @@ class CocoDataset:
         info = self.images[idx]
         img = self.load_image(info['file_name'])
         h, w = img.shape[:2]
-        scale = self.resize_factor(h, w)
+        short = self.short_edge
+        flip = False
+        if self.augment:
+            short = int(self.aug_rng.choice(self.train_scales))
+            flip = bool(self.aug_rng.random() < 0.5)
+        scale = self.resize_factor(h, w, short)
         nh, nw = int(round(h * scale)), int(round(w * scale))
         from PIL import Image
         img = np.asarray(
             Image.fromarray(img.astype(np.uint8)).resize(
                 (nw, nh), Image.BILINEAR), np.float32)
+        if flip:
+            img = img[:, ::-1]
         img = (img - self.pixel_mean) / self.pixel_std
         padded = np.zeros((self.max_size, self.max_size, 3), np.float32)
         padded[:nh, :nw] = img
@@ -96,15 +119,22 @@ class CocoDataset:
                  if self.with_masks else None)
         for i, ann in enumerate(anns[: self.max_boxes]):
             x, y, bw, bh = ann['bbox']
-            boxes[i] = np.array([x, y, x + bw, y + bh]) * scale
+            box = np.array([x, y, x + bw, y + bh], np.float32) * scale
+            if self.with_masks and ann.get('segmentation'):
+                # rasterize in the UNFLIPPED box frame; a horizontal image
+                # flip mirrors the content of an axis-aligned box about its
+                # vertical centerline, so the 28x28 target flips left-right
+                m = rasterize_mask28(ann['segmentation'], box, scale)
+                masks[i] = m[:, ::-1] if flip else m
+            if flip:
+                box = np.array([nw - box[2], box[1], nw - box[0], box[3]],
+                               np.float32)
+            boxes[i] = box
             classes[i] = self.cat_ids.get(ann['category_id'], 0)
             valid[i] = True
-            if self.with_masks and ann.get('segmentation'):
-                masks[i] = rasterize_mask28(ann['segmentation'], boxes[i],
-                                            scale)
         out = {"image": padded, "gt_boxes": boxes, "gt_classes": classes,
                "gt_valid": valid, "image_id": info['id'],
-               "hw": (nh, nw), "scale": scale}
+               "hw": (nh, nw), "scale": scale, "flipped": flip}
         if self.with_masks:
             out["gt_masks28"] = masks
         return out

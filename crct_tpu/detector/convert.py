@@ -290,8 +290,12 @@ def detector_file_meta(path: str) -> Dict[str, Any]:
                                        np.asarray(m["pixel_mean"])],
                         "pixel_std": [float(x) for x in
                                       np.asarray(m["pixel_std"])]}
-        except Exception:
-            pass
+        except (FileNotFoundError, KeyError, ValueError, OSError) as e:
+            # do NOT silently fall back on a corrupt/unreadable fine-tuned
+            # checkpoint — that is exactly the silent-garbage-features
+            # failure mode; name the path and the convention we fell to
+            print(f"detector_file_meta: probe of {path!r} failed ({e!r}); "
+                  "falling back to torchvision stride/normalization")
         return _layout_meta(False)
     sd = load_detector_torch_file(path)
     detectron2 = any(k.startswith(("backbone.bottom_up", "roi_heads."))

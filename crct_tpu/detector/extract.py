@@ -314,6 +314,8 @@ def batched_detect(detect_batch, params, padded_images, infer_batch: int,
     import jax
     import jax.numpy as jnp
 
+    if not padded_images:
+        return []
     results = []
     for s in range(0, len(padded_images), infer_batch):
         group = list(padded_images[s:s + infer_batch])

@@ -38,6 +38,11 @@ class MaskRCNN(nn.Module):
     post_nms_topk_train: int = 512
     post_nms_topk_test: int = 512
     roi_batch: int = 256            # sampled proposals per image (train)
+    # single source of truth for the fg fraction: sample_fixed caps
+    # positives at roi_batch * ROI_POS_FRACTION, and the mask branch sizes
+    # its fg-only subset from the same constant — keeping the two coupled
+    # is what makes the fg-subset mask loss exactly equal the all-roi one
+    ROI_POS_FRACTION = 0.25
     dtype: Any = jnp.float32
     stride_in_1x1: bool = False     # True for Detectron2 model-zoo weights
     freeze_at: int = 0              # reference fine-tune default: 2
@@ -97,8 +102,9 @@ class MaskRCNN(nn.Module):
         matched_gt, label = box_ops.match_anchors(
             pool_boxes, gt_boxes, gt_valid, pos_thr=0.5, neg_thr=0.5)
         label = jnp.where(pool_valid > 0, label, -1)
-        idx, weight = box_ops.sample_fixed(label, r2, num=self.roi_batch,
-                                           pos_fraction=0.25)
+        idx, weight = box_ops.sample_fixed(
+            label, r2, num=self.roi_batch,
+            pos_fraction=self.ROI_POS_FRACTION)
         rois = pool_boxes[idx]
         is_fg = label[idx] == 1
         matched = matched_gt[idx]
@@ -117,7 +123,7 @@ class MaskRCNN(nn.Module):
             # first, stable) holds every foreground roi; the loss is
             # fg-weighted so the value is identical to running all rois,
             # at 1/4 the 14x14 RoIAlign + mask-head volume
-            n_mask = max(1, self.roi_batch // 4)
+            n_mask = max(1, int(self.roi_batch * self.ROI_POS_FRACTION))
             fg_w = weight * is_fg.astype(jnp.float32)
             fg_first = jnp.argsort(~is_fg, stable=True)[:n_mask]
             m_matched = matched[fg_first]     # compose indices: gather the

@@ -237,7 +237,9 @@ def _mlra_backward(features, boxes, grad_pooled, strides, output_size,
         acc, _ = jax.lax.scan(
             body, jnp.zeros((H, W, C), g.dtype),
             (chunked(Wy), chunked(Wx), g_r))
-        grads.append(acc)
+        # cotangent dtype must match the primal feature map (e.g. bf16
+        # FPN maps with a float32 grad_pooled would fail the VJP check)
+        grads.append(acc.astype(feat.dtype))
     return tuple(grads)
 
 

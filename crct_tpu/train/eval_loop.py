@@ -172,6 +172,37 @@ def _flatten_valid_rows(batch: Dict[str, Any]) -> Tuple[Dict[str, np.ndarray], n
     return rows, offsets
 
 
+# Rows per chip at which the eval step is measured compute-bound on v5e
+# (docs/BENCHMARKS.md: 480 rows already sustains ~1990 rows/s/chip; the
+# reference default of 10 is latency-dominated on a tunneled backend).
+EVAL_AUTO_ROWS_PER_CHIP = 480
+
+
+def resolve_eval_chunk(params: Dict[str, Any]) -> int:
+    """Rows per eval dispatch. An explicit ``-eval_batch_size`` wins
+    (reference-parity runs, CRCT/options.py default 10); otherwise
+    auto-scale to ``EVAL_AUTO_ROWS_PER_CHIP x local device count`` so the
+    default CLI run is compute-bound rather than dispatch-latency-bound
+    (reference bottleneck: CRCT/evaluation.py:243-262)."""
+    ebs = params.get("eval_batch_size")
+    if ebs:
+        return max(1, int(ebs))
+    return EVAL_AUTO_ROWS_PER_CHIP * max(1, len(jax.local_devices()))
+
+
+def resolve_eval_question_batch(params: Dict[str, Any]) -> int:
+    """Questions per dataloader batch feeding the row chunker. An explicit
+    ``-eval_batch_size`` keeps the reference's one-number semantics (it
+    sized both the loader batch and the model chunk); in auto mode, pull
+    enough questions that each loader batch fills several row chunks
+    (typical questions carry ~20-40 valid candidate rows, capped at
+    EVAL_PADDED_SIZE=120)."""
+    ebs = params.get("eval_batch_size")
+    if ebs:
+        return max(1, int(ebs))
+    return max(8, resolve_eval_chunk(params) // 12)
+
+
 def _chunk_rows(rows: Dict[str, np.ndarray], chunk: int):
     n = len(next(iter(rows.values())))
     for s in range(0, n, chunk):
@@ -361,7 +392,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
              allreduce: Optional[Callable[[np.ndarray], np.ndarray]] = None):
     """Run full-candidate eval; returns (total_correct[6,2], breakdown[5,4,3,3])."""
     log_print = log_print or (lambda msg: print(msg, flush=True))
-    chunk = eval_batch_size or params.get("eval_batch_size", 10)
+    chunk = eval_batch_size or resolve_eval_chunk(params)
     chunk = max(chunk, 1)
     # data-parallel eval over the local mesh: chunks shard on the leading
     # (row) axis, params replicate (the reference's per-GPU DDP eval,

@@ -115,3 +115,58 @@ def test_detector_trainer_smoke(tmp_path):
     assert np.isfinite(losses["total"])
     metrics = coco_evaluate(trainer.model, trainer.params, ds, max_images=1)
     assert "bbox_mAP" in metrics
+
+
+def test_augmentation_flip_consistency(tmp_path):
+    """Train-time augmentation (hflip + multi-scale short edge, the
+    Detectron2 INPUT defaults the reference inherits via DefaultTrainer,
+    frcnn.py:182-205): flipped boxes must mirror the unflipped ones at the
+    same scale, mask targets must flip left-right, and every sampled scale
+    must land in the SAME padded canvas (one compiled shape)."""
+    ann, img_dir = make_coco_fixture(tmp_path, n_images=1, size=64)
+    base = CocoDataset(ann, img_dir, max_boxes=8, short_edge=48, max_size=96,
+                       with_masks=True)
+    aug = CocoDataset(ann, img_dir, max_boxes=8, short_edge=48, max_size=96,
+                      with_masks=True, augment=True,
+                      train_scales=(32, 48, 64), aug_seed=3)
+
+    # collect one flipped and one unflipped draw of the same image
+    seen = {}
+    scales = set()
+    for _ in range(64):
+        ex = aug[0]
+        assert ex["image"].shape == (96, 96, 3)   # fixed canvas always
+        scales.add(round(float(ex["scale"]), 6))
+        seen.setdefault((ex["flipped"], round(float(ex["scale"]), 6)), ex)
+    assert len(scales) > 1, "multi-scale sampling never varied the scale"
+    flips = {k[0] for k in seen}
+    assert flips == {True, False}, "hflip never sampled both branches"
+
+    # pick a (flipped, unflipped) pair at the SAME scale
+    pair = None
+    for (fl, sc), ex in seen.items():
+        if fl and (False, sc) in seen:
+            pair = (seen[(False, sc)], ex)
+            break
+    assert pair is not None
+    plain, flipped = pair
+    nw = plain["hw"][1]
+    v = plain["gt_valid"]
+    assert (v == flipped["gt_valid"]).all()
+    # boxes mirror about the resized image's vertical centerline
+    want = plain["gt_boxes"][v].copy()
+    want[:, [0, 2]] = nw - want[:, [2, 0]]
+    np.testing.assert_allclose(flipped["gt_boxes"][v], want, atol=1e-4)
+    # mask targets flip left-right (box-local frame)
+    np.testing.assert_allclose(flipped["gt_masks28"][v],
+                               plain["gt_masks28"][v][:, :, ::-1], atol=1e-6)
+    # the flipped image content equals the flipped plain image content
+    # within the resized region
+    nh = plain["hw"][0]
+    np.testing.assert_allclose(flipped["image"][:nh, :nw],
+                               plain["image"][:nh, :nw][:, ::-1], atol=1e-4)
+
+    # augment=False (the eval path) stays deterministic
+    e1, e2 = base[0], base[0]
+    np.testing.assert_array_equal(e1["image"], e2["image"])
+    assert e1["flipped"] is False

@@ -62,6 +62,55 @@ print(f"CHILD_OK_{{rank}}", flush=True)
 """
 
 
+STEP_CHILD = r"""
+import sys
+rank, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, {repo!r})
+from crct_tpu.parallel.mesh import (maybe_initialize_distributed, replicate,
+                                    shard_batch)
+ok = maybe_initialize_distributed(
+    {{"dist_url": f"127.0.0.1:{{port}}", "world_size": 2, "rank": rank}})
+assert ok, "initialize was skipped"
+
+import numpy as np, jax.numpy as jnp
+from jax.sharding import Mesh
+from crct_tpu.models.crct import CRCTModel
+from crct_tpu.train.optimizer import make_optimizer
+from crct_tpu.train.train_loop import make_train_step
+from tests.helpers import tiny_model_config
+from tests.test_model import make_batch
+
+mesh = Mesh(np.asarray(jax.devices()), ("data",))
+assert len(jax.devices()) == 4
+model = CRCTModel(config=tiny_model_config(), categories=10)
+# identical on both ranks: seeded batch + seeded init
+gbatch = {{k: np.asarray(v) for k, v in
+           make_batch(np.random.default_rng(0), B=8).items()}}
+variables = model.init({{"params": jax.random.key(0),
+                         "dropout": jax.random.key(0)}},
+                       jax.tree.map(jnp.asarray, gbatch), train=True)
+params_dict = dict(lr=1e-3, image_lr=1e-3, min_lr=1e-5, warmup=1, wd=0.01)
+tx = make_optimizer(params_dict, variables["params"], iters_per_epoch=100)
+# each host holds ITS 4-row slice (the DataLoader shard split);
+# shard_batch assembles the 8-row global batch over the 2x2-device mesh
+local = {{k: v[rank * 4:(rank + 1) * 4] for k, v in gbatch.items()}}
+db = shard_batch(local, mesh)
+p = replicate(variables["params"], mesh)
+o = replicate(tx.init(variables["params"]), mesh)
+step = jax.jit(make_train_step(model, tx))
+p, o, m = step(p, o, db, jax.random.key(7))
+np.save(f"{{outdir}}/metrics_{{rank}}.npy", np.asarray(m))
+flat = np.concatenate([np.asarray(x).ravel()
+                       for x in jax.tree.leaves(jax.device_get(p))])
+np.save(f"{{outdir}}/params_{{rank}}.npy", flat)
+print(f"STEP_CHILD_OK_{{rank}}", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -92,6 +141,71 @@ def test_two_process_distributed_init(tmp_path):
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
         assert f"CHILD_OK_{r}" in out
+
+
+def test_two_process_real_train_step(tmp_path):
+    """The ACTUAL CRCT make_train_step across a 2-process x 2-device mesh
+    must produce the same metrics and updated params as a single-process
+    4-device run of the same step (reference multi-node DDP semantics:
+    CRCT/train.py:22-28,139-143,184-191)."""
+    import jax
+    import jax.numpy as jnp
+    from crct_tpu.models.crct import CRCTModel
+    from crct_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from crct_tpu.train.optimizer import make_optimizer
+    from crct_tpu.train.train_loop import make_train_step
+    from tests.helpers import tiny_model_config
+    from tests.test_model import make_batch
+
+    # single-process 4-device baseline (same seeds as STEP_CHILD)
+    model = CRCTModel(config=tiny_model_config(), categories=10)
+    gbatch = {k: np.asarray(v)
+              for k, v in make_batch(np.random.default_rng(0), B=8).items()}
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(0)},
+                           jax.tree.map(jnp.asarray, gbatch), train=True)
+    params_dict = dict(lr=1e-3, image_lr=1e-3, min_lr=1e-5, warmup=1, wd=0.01)
+    tx = make_optimizer(params_dict, variables["params"], iters_per_epoch=100)
+    mesh = make_mesh(4)
+    p = replicate(variables["params"], mesh)
+    o = replicate(tx.init(variables["params"]), mesh)
+    db = shard_batch(gbatch, mesh)
+    step = jax.jit(make_train_step(model, tx))
+    p, o, m_base = step(p, o, db, jax.random.key(7))
+    m_base = np.asarray(m_base)
+    flat_base = np.concatenate([np.asarray(x).ravel()
+                                for x in jax.tree.leaves(jax.device_get(p))])
+
+    # 2-process run of the same step
+    script = tmp_path / "step_child.py"
+    script.write_text(STEP_CHILD.format(repo=REPO))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(r), str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env, cwd=str(tmp_path)) for r in (0, 1)]
+    outs = []
+    for p_ in procs:
+        try:
+            out, _ = p_.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for r, (p_, out) in enumerate(zip(procs, outs)):
+        assert p_.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"STEP_CHILD_OK_{r}" in out
+
+    for r in (0, 1):
+        m_child = np.load(tmp_path / f"metrics_{r}.npy")
+        np.testing.assert_allclose(m_child, m_base, rtol=2e-4, atol=1e-5)
+        flat_child = np.load(tmp_path / f"params_{r}.npy")
+        assert flat_child.shape == flat_base.shape
+        np.testing.assert_allclose(flat_child, flat_base, rtol=1e-3,
+                                   atol=2e-5)
 
 
 def test_eval_log_per_rank_csvs(tmp_path):

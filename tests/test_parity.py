@@ -99,7 +99,8 @@ def ref_params(**over):
     return p
 
 
-def make_batch(seed, B, Lseq, R, cfg):
+def make_batch(seed, B, Lseq, R, cfg, cats=CATS, cap_range=(3, 8),
+               q_range=(2, 6)):
     g = np.random.default_rng(seed)
     tokens = g.integers(1, cfg["vocab_size"], (B, Lseq)).astype(np.int64)
     # realistic segments: CLS(0), caption types 2..11, question (-1),
@@ -107,8 +108,8 @@ def make_batch(seed, B, Lseq, R, cfg):
     segments = np.zeros((B, Lseq), np.int64)
     seq_len = np.zeros((B,), np.int64)
     for i in range(B):
-        n_cap = int(g.integers(3, 8))
-        n_q = 0 if i == 0 else int(g.integers(2, 6))
+        n_cap = int(g.integers(*cap_range))
+        n_q = 0 if i == 0 else int(g.integers(*q_range))
         n_a = 0 if i == 0 else int(g.integers(1, 3))
         segments[i, 1:1 + n_cap] = g.integers(2, 12, n_cap)
         segments[i, 1 + n_cap:1 + n_cap + n_q] = -1
@@ -123,7 +124,7 @@ def make_batch(seed, B, Lseq, R, cfg):
     hist_len = np.zeros((B,), np.int64)
     image_feat = g.normal(size=(B, R, cfg["v_feature_size"])).astype(np.float32)
     image_loc = g.random((B, R, 4), np.float32)
-    image_target = g.integers(0, CATS + 1, (B, R)).astype(np.int64)
+    image_target = g.integers(0, cats + 1, (B, R)).astype(np.int64)
     image_mask = np.ones((B, R), np.float32)
     image_mask[:, -1] = 0
     Rv = np.zeros((B, 4), np.float32)
@@ -357,6 +358,80 @@ def test_end_to_end_eval_parity(ref, cfg_dict):
                                want_reg[4].numpy(), atol=ATOL)
     assert int(np.sum(np.asarray(out.correct_regs))) == int(want_reg[3][0])
     assert int(np.sum(np.asarray(out.correct_t_regs))) == int(want_reg[3][1])
+
+
+@pytest.mark.slow
+def test_flagship_scale_parity(ref):
+    """Golden parity at the REAL shipped geometry (config/vilbert.json:
+    12L/768/16h text, 6L/1024/16h vision, bi 1024/32h, 6 connections,
+    vocab 30522) — the last controllable link in the published-weights
+    proof chain. A dim-dependent bug (head-split rounding, position-table
+    size, schedule tail) passes TINY/MID but fails here.
+    Reference: CRCT/backbone/vilbert.py:1499-1661, CRCT/config/vilbert.json.
+    """
+    import json
+    cfg_path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "config", "vilbert.json")
+    with open(cfg_path) as f:
+        cfg_dict = json.load(f)
+    B, Lseq, R, cats = 2, 124, 44, 228       # plotqa production geometry
+    cfg = ref.BertConfig.from_dict(cfg_dict)
+    torch.manual_seed(23)
+    torch_model = ref.BertForMultiModalPreTraining(
+        cfg, ref_params(max_seq_len=Lseq, max_vis_features=R,
+                        categories=cats)).eval()
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    tree, _ = convert_torch_state_dict(sd)
+    model = CRCTModel(config=CRCTModelConfig.from_dict(cfg_dict),
+                      categories=cats, tol_margin=TOL_MARGIN)
+    # long sequences: captions fill most of the 124 tokens, Q/A up to 23,
+    # so the position/type tables and the attention masks are exercised at
+    # production occupancy, not the tiny-test ~15-token tail
+    batch = make_batch(29, B, Lseq, R, cfg_dict, cats=cats,
+                       cap_range=(60, 100), q_range=(8, 20))
+
+    # converted tree must exactly cover the flax init structure at scale
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)},
+                           _jnp_batch(batch), train=False))
+    assert flat_paths(tree) == flat_paths(
+        jax.tree.map(lambda x: np.zeros(x.shape), variables["params"],
+                     is_leaf=lambda x: hasattr(x, "shape")))
+
+    # eval-mode outputs
+    want_nsp, want_reg = _torch_eval_forward(torch_model, batch, Lseq)
+    out = model.apply({"params": tree}, _jnp_batch(batch), train=False)
+    np.testing.assert_allclose(np.asarray(out.nsp_logits), want_nsp,
+                               atol=ATOL)
+    np.testing.assert_allclose(np.asarray(out.reg_output),
+                               want_reg[0].numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(out.reg_l1),
+                               want_reg[2].numpy(), atol=ATOL)
+    assert int(np.sum(np.asarray(out.correct_regs))) == int(want_reg[3][0])
+    assert int(np.sum(np.asarray(out.correct_t_regs))) == int(want_reg[3][1])
+
+    # train-mode loss
+    att = attention_mask_np(batch, Lseq)
+    with torch.no_grad():
+        tout = torch_model(
+            t(batch["tokens"]), t(batch["loc"]), t(batch["image_feat"]),
+            t(batch["image_loc"]), sep_indices=t(batch["sep_indices"]),
+            sep_len=t(batch["hist_len"] + 1),
+            token_type_ids=t(batch["segments"]), attention_mask=t(att),
+            image_attention_mask=t(batch["image_mask"]),
+            image_target=t(batch["image_target"]),
+            masked_lm_labels=t(np.zeros_like(batch["tokens"])),
+            next_sentence_label=t(batch["next_sentence_labels"]),
+            gt_reg=[t(batch["R"]), "L1_smooth"])
+    want_loss = float(tout[2].numpy().sum() + tout[6][1].mean().numpy())
+    mine = model.apply({"params": tree}, _jnp_batch(batch), train=True,
+                       deterministic=True,
+                       rngs={"dropout": jax.random.key(0)})
+    np.testing.assert_allclose(float(mine.nsp_loss),
+                               float(tout[2].numpy().sum()), atol=ATOL)
+    np.testing.assert_allclose(float(jnp.mean(mine.reg_loss)),
+                               float(tout[6][1].mean().numpy()), atol=ATOL)
+    np.testing.assert_allclose(float(mine.loss), want_loss, atol=2 * ATOL)
 
 
 def test_end_to_end_train_loss_parity(ref):
