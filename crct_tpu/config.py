@@ -204,6 +204,13 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
                              'pass per question at eval instead of the '
                              'x120 candidate fan-out (train the head first '
                              'with cli.train -fast_scorer)')
+    parser.add_argument('-fast_scorer_topk', type=int, default=0,
+                        help='with -fast_scorer: the fast head only '
+                             'SHORTLISTS this many candidates and the full '
+                             'model rescores them — exact reference '
+                             'numerics whenever the true answer is in the '
+                             'shortlist, ~(120/K)x cheaper than the full '
+                             'fan-out (0 = fast head scores alone)')
     parser.add_argument('-rng_impl', type=str, default='rbg',
                         choices=['rbg', 'threefry2x32'],
                         help='dropout PRNG (rbg is ~40%% faster on TPU)')
@@ -273,7 +280,7 @@ def default_params(**overrides: Any) -> Dict[str, Any]:
         dataset_config={}, max_vis_features=44, splits=['train', 'val', 'test'],
         dvqa_floats=list(DVQA_FLOATS), vocab_file='', bf16=False, pallas=False,
         mesh_shape='', dist_url='', profile=False, rng_impl='rbg',
-        fast_scorer=False, fs_steps=2000, fs_lr=1e-3,
+        fast_scorer=False, fast_scorer_topk=0, fs_steps=2000, fs_lr=1e-3,
     )
     params['continue'] = False
     params.update(overrides)

@@ -203,6 +203,25 @@ def resolve_eval_question_batch(params: Dict[str, Any]) -> int:
     return max(8, resolve_eval_chunk(params) // 12)
 
 
+def shortlist_rescore_rows(batch: Dict[str, Any],
+                           top_idx: np.ndarray) -> Dict[str, np.ndarray]:
+    """Gather the per-candidate padded batch [B, P, ...] down to the
+    shortlisted [B*K, ...] rows for full-model rescoring
+    (-fast_scorer_topk). ``top_idx`` [B, K] holds candidate indices."""
+    B, K = top_idx.shape
+    rows: Dict[str, np.ndarray] = {}
+    for k in ROW_KEYS:
+        if k not in batch:
+            continue
+        v = np.asarray(batch[k])
+        idx = top_idx.reshape((B, K) + (1,) * (v.ndim - 2))
+        g = np.take_along_axis(v, idx, axis=1)
+        rows[k] = g.reshape((B * K,) + v.shape[2:])
+    if rows["hist_len"].ndim > 1:
+        rows["hist_len"] = rows["hist_len"].reshape(B * K, -1)[:, :1]
+    return rows
+
+
 def _chunk_rows(rows: Dict[str, np.ndarray], chunk: int):
     n = len(next(iter(rows.values())))
     for s in range(0, n, chunk):
@@ -409,7 +428,13 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     allreduce = allreduce or (lambda x: x)
     binary = params.get("binary_answers", False)
     fast = bool(params.get("fast_scorer")) and not binary
+    # -fast_scorer_topk K: the fast head only SHORTLISTS K candidates and
+    # the full model rescores those K rows — exact reference numerics
+    # whenever the true answer is in the shortlist, at ~(P/K)x less full
+    # model compute than the reference fan-out (fig_dataloader.py:282-291)
+    topk = int(params.get("fast_scorer_topk") or 0) if fast else 0
     eval_step = _cached_eval_step(model, "fast" if fast else "rank")
+    rank_step = _cached_eval_step(model, "rank") if topk else None
 
     breakdown = np.zeros((5, 4, 3, 3), np.float64)
     total_correct = np.zeros((6, 2), np.float64)
@@ -423,7 +448,8 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
 
     inf_time = [0.0, 0]
 
-    def run_chunks(rows):
+    def run_chunks(rows, step=None):
+        step = step or eval_step
         collected = None
         for piece, valid in _chunk_rows(rows, chunk):
             t0 = time.time()
@@ -432,7 +458,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
                          for k, v in piece.items()}
             # one host fetch for all outputs (each np.asarray would be its
             # own device->host round trip; latency-bound on tunneled backends)
-            outs = jax.device_get(eval_step(model_params, piece))
+            outs = jax.device_get(step(model_params, piece))
             if collected is None:
                 collected = [[] for _ in outs]
             for acc, o in zip(collected, outs):
@@ -448,7 +474,43 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         needs_reg = needs_reg.astype(bool)
         gt_id = np.asarray(batch["gt_id"]).reshape(-1)
 
-        if fast:
+        if fast and topk:
+            # shortlist-then-rescore: fast head picks K candidates, the
+            # FULL model scores only those K rows (exact reference
+            # numerics whenever the true answer makes the shortlist)
+            frows = build_fast_rows(batch)
+            cand_valid = frows["cand_valid"] > 0            # [B, P]
+            cand_logits, _, _, _ = run_chunks(frows)
+            B, P = cand_logits.shape
+            K = min(topk, P)
+            top_idx = np.argsort(-cand_logits, axis=1,
+                                 kind="stable")[:, :K]
+            regs_mode = bool(params.get("qa_file")) and \
+                "_REGS" in params["qa_file"]
+            if regs_mode:
+                # regression-only eval scores the GT candidate's row;
+                # pin it into the shortlist so its outputs exist
+                has_gt = (top_idx == gt_id[:, None]).any(axis=1)
+                top_idx[~has_gt, -1] = gt_id[~has_gt]
+            nsp_probs, reg_out, reg5, regl1 = run_chunks(
+                shortlist_rescore_rows(batch, top_idx), rank_step)
+            probs = np.where(
+                np.take_along_axis(cand_valid, top_idx, axis=1),
+                nsp_probs[:B * K].reshape(B, K), -np.inf)
+            if regs_mode:
+                best_k = np.argmax(top_idx == gt_id[:, None], axis=1)
+                answers_idx = gt_id.astype(np.int64)
+            else:
+                best_k = np.argmax(probs, axis=1)
+                answers_idx = np.take_along_axis(
+                    top_idx, best_k[:, None], axis=1)[:, 0]
+            sel = np.arange(B) * K + best_k
+            nonempty = np.isfinite(probs).any(axis=1)
+            ans_reg5 = np.where(nonempty, reg5[sel], np.inf)
+            ans_regl1 = np.where(nonempty, regl1[sel], np.inf)
+            ans_reg_out = np.where(nonempty, reg_out[sel], np.nan)
+            nsp_right = (answers_idx == gt_id) & nonempty
+        elif fast:
             # one backbone pass per question + light candidate head; the
             # regression outputs come from the same answer-masked pass
             cand_logits, ans_reg_out, ans_reg5, ans_regl1 = run_chunks(

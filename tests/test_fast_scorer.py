@@ -114,3 +114,69 @@ def test_fast_eval_end_to_end_and_delta(fast_env, capsys):
     print(f"[fast-scorer] total acc fast={acc_fast:.3f} "
           f"full-protocol={acc_slow:.3f} (delta {acc_fast - acc_slow:+.3f})")
     ds.get_all_answers = False
+
+
+def test_topk_rescore_matches_full_protocol_when_k_covers(fast_env):
+    """-fast_scorer_topk: with K >= every candidate count the shortlist
+    always contains the true answer, so rescoring must reproduce the FULL
+    reference protocol's accuracy tables exactly."""
+    params, ds, model, mp = fast_env
+    merged, _ = train_fast_scorer(
+        dict(params), ds, model, mp, steps=10, lr=3e-3, batch_questions=4,
+        log_print=lambda m: None)
+    ds.split = "val"
+    ds.get_all_answers = True
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    P = np.asarray(next(iter(loader))["tokens"]).shape[1]
+    topk_params = dict(params, fast_scorer_topk=P)   # K covers all cands
+    topk_total, topk_breakdown, _ = evaluate(
+        loader, ds, topk_params, model, merged, csv=False,
+        log_print=lambda m: None)
+    slow_params = dict(params, fast_scorer=False)
+    slow_total, slow_breakdown, _ = evaluate(
+        loader, ds, slow_params, model, merged, csv=False,
+        log_print=lambda m: None)
+    np.testing.assert_array_equal(topk_total, slow_total)
+    np.testing.assert_array_equal(topk_breakdown, slow_breakdown)
+    ds.get_all_answers = False
+
+
+def test_topk_rescore_small_k_recall_and_accuracy(fast_env, capsys):
+    """Small-K rescore: shortlist recall bounds the end accuracy; report
+    both (synthetic head => numbers are illustrative, the assertions are
+    structural: every question counted, accuracy <= full protocol only by
+    shortlist misses)."""
+    from crct_tpu.train.eval_loop import build_fast_rows, _cached_eval_step
+    params, ds, model, mp = fast_env
+    merged, _ = train_fast_scorer(
+        dict(params), ds, model, mp, steps=10, lr=3e-3, batch_questions=4,
+        log_print=lambda m: None)
+    ds.split = "val"
+    ds.get_all_answers = True
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    K = 3
+    # measure shortlist recall directly from the fast head
+    import jax as _jax
+    step = _cached_eval_step(model, "fast")
+    hits = total = 0
+    for batch in loader:
+        rows = {k: np.asarray(v) for k, v in build_fast_rows(batch).items()}
+        logits = np.asarray(step(merged, rows)[0])
+        top = np.argsort(-logits, axis=1, kind="stable")[:, :K]
+        gt = np.asarray(batch["gt_id"]).reshape(-1)
+        hits += int((top == gt[:, None]).any(1).sum())
+        total += len(gt)
+    recall = hits / total
+
+    topk_params = dict(params, fast_scorer_topk=K)
+    topk_total, _, _ = evaluate(loader, ds, topk_params, model, merged,
+                                csv=False, log_print=lambda m: None)
+    assert topk_total[0, 1] == len(ds)
+    nsp_acc = topk_total[0, 0] / topk_total[0, 1]
+    # classification can only be right when the GT made the shortlist
+    assert nsp_acc <= recall + 1e-9
+    print(f"[fast-scorer topk={K}] shortlist recall={recall:.3f} "
+          f"nsp acc={nsp_acc:.3f}")
+    ds.get_all_answers = False
