@@ -155,6 +155,47 @@ def train_step_flops() -> float:
     raise RuntimeError(out.stderr[-500:])
 
 
+def analytic_train_flops(B: int = 80, L: int = 124, R: int = 44) -> float:
+    """Analytic matmul FLOPs for one flagship train step (fwd + bwd = 3x
+    fwd matmuls), from the config/vilbert.json dims. Counts ONLY useful
+    matmul FLOPs — no masked/padded work, no elementwise — so it is the
+    conservative MFU denominator (the XLA cost model overcounts by also
+    charging masked rows and non-matmul ops)."""
+    H, FF, VH, VFF, BI = 768, 3072, 1024, 1024, 1024
+
+    def mm(tokens, d_in, d_out):
+        return 2.0 * tokens * d_in * d_out
+
+    f = 0.0
+    # embeddings (loc/type linears; table lookups are gathers, 0 FLOP)
+    f += mm(B * L, 4, H)
+    f += mm(B * R, 1024, VH) + mm(B * R, 4, VH)
+    # 12 text self-attention layers
+    f += 12 * (4 * mm(B * L, H, H)          # QKV + out proj
+               + 2 * mm(B * L, L, H)        # scores + context
+               + 2 * mm(B * L, H, FF))      # FFN in + out
+    # 6 vision self-attention layers
+    f += 6 * (4 * mm(B * R, VH, VH)
+              + 2 * mm(B * R, R, VH)
+              + 2 * mm(B * R, VH, VFF))
+    # 6 connection layers (bi-attention + per-stream dense/FFN)
+    f += 6 * (3 * mm(B * L, H, BI)          # text QKV -> bi
+              + 3 * mm(B * R, VH, BI)       # vision QKV -> bi
+              + 4 * mm(B * L, R, BI)        # two cross-attns, scores+ctx
+              + mm(B * L, BI, H) + mm(B * R, BI, VH)   # back-projections
+              + 2 * mm(B * L, H, FF)        # t_ffn
+              + 2 * mm(B * R, VH, VFF))     # v_ffn
+    # poolers + NSP head
+    f += mm(B, H, BI) + mm(B, VH, BI) + mm(B, BI, 2)
+    # hybrid regressor pipes (txt 768->768->512->256->256,
+    # vis 1024->1024->512->256->256, fusion 512->512->256->256->1)
+    reg = (768 * 768 + 768 * 512 + 512 * 256 + 256 * 256
+           + 1024 * 1024 + 1024 * 512 + 512 * 256 + 256 * 256
+           + 512 * 512 + 512 * 256 + 256 * 256 + 256 * 1)
+    f += 2.0 * B * reg
+    return 3.0 * f          # backward ~= 2x forward matmul FLOPs
+
+
 def bench_fast_scorer(cfg, rng, n_chips: int) -> dict:
     """Opt-in fast-scorer eval throughput: one backbone pass per question
     + the light candidate head (vs 120 backbone passes in the reference
@@ -326,11 +367,64 @@ def bench_e2e_charts(n_chips: int) -> dict:
         shutil.rmtree(td, ignore_errors=True)
 
 
-def bench_detector_train(n_chips: int) -> dict:
-    """Detector train-step throughput: Mask R-CNN R50-FPN, 512px synthetic
-    batch, the reference solver (frcnn.py:167-175). Per-chip batch 8 is the
-    measured optimum (16 is flat, 4 is -8%). Heavy compile (~2 min); run
-    via ``--all``."""
+def detector_train_flops(img_hw, batch: int) -> float:
+    """XLA cost-model FLOPs of one detector train step (CPU lowering in a
+    subprocess, like train_step_flops)."""
+    import os
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from crct_tpu.detector.mask_rcnn import MaskRCNN\n"
+        "from crct_tpu.detector.trainer import (make_detector_optimizer,"
+        " make_detector_train_step)\n"
+        f"B, H, W, MAXB = {batch}, {img_hw[0]}, {img_hw[1]}, 40\n"
+        "model = MaskRCNN(num_classes=25, with_mask=True)\n"
+        "sds = jax.ShapeDtypeStruct\n"
+        "batch = {'image': sds((B, H, W, 3), jnp.float32),\n"
+        "         'gt_boxes': sds((B, MAXB, 4), jnp.float32),\n"
+        "         'gt_classes': sds((B, MAXB), jnp.int32),\n"
+        "         'gt_valid': sds((B, MAXB), jnp.float32),\n"
+        "         'gt_masks28': sds((B, MAXB, 28, 28), jnp.float32)}\n"
+        "shapes = jax.eval_shape(\n"
+        "    lambda r, im, gb, gc, gv, gm: model.init(\n"
+        "        r, im, train=True, gt_boxes=gb, gt_classes=gc,\n"
+        "        gt_valid=gv, gt_masks28=gm, rng=r),\n"
+        "    sds((), jax.random.key(0).dtype),\n"
+        "    sds((H, W, 3), jnp.float32), sds((MAXB, 4), jnp.float32),\n"
+        "    sds((MAXB,), jnp.int32), sds((MAXB,), jnp.float32),\n"
+        "    sds((MAXB, 28, 28), jnp.float32))\n"
+        "params = jax.tree.map(lambda s: sds(s.shape, s.dtype),"
+        " shapes['params'])\n"
+        "tx = make_detector_optimizer()\n"
+        "opt = jax.eval_shape(tx.init, params)\n"
+        "opt = jax.tree.map(lambda s: sds(s.shape, s.dtype), opt,\n"
+        "    is_leaf=lambda x: hasattr(x, 'shape'))\n"
+        "step = make_detector_train_step(model, tx)\n"
+        "low = jax.jit(step).lower(params, opt, batch,"
+        " sds((), jax.random.key(0).dtype))\n"
+        "print('FLOPS', low.cost_analysis().get('flops'))\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=900)
+    for line in out.stdout.splitlines():
+        if line.startswith("FLOPS "):
+            return float(line.split()[1])
+    raise RuntimeError(out.stderr[-500:])
+
+
+def bench_detector_train(n_chips: int, *, img_hw=(512, 512),
+                         batch_per_chip: int = 8, key_suffix: str = "",
+                         with_mfu: bool = False) -> dict:
+    """Detector train-step throughput: Mask R-CNN R50-FPN, synthetic batch,
+    the reference solver (frcnn.py:167-175). Default 512px / batch 8 (the
+    measured single-chip optimum); the ``--all`` path also runs the
+    production 800px-shortest-edge shape (canvas 800x1088, batch 2/chip =
+    the Detectron2 per-GPU recipe the reference trains with) and records
+    MFU from the XLA cost model. Heavy compile (~2+ min per shape)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -340,12 +434,13 @@ def bench_detector_train(n_chips: int) -> dict:
                                            make_detector_train_step)
     from crct_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
-    B, IMG, MAXB = 8 * n_chips, 512, 40
+    B, (IH, IW), MAXB = batch_per_chip * n_chips, img_hw, 40
     rng = np.random.default_rng(0)
     model = MaskRCNN(num_classes=25, with_mask=True)
-    raw = np.sort(rng.random((B, MAXB, 2, 2), np.float32) * IMG, axis=2)
+    raw = np.sort(rng.random((B, MAXB, 2, 2), np.float32)
+                  * min(IH, IW), axis=2)
     batch = {
-        "image": rng.random((B, IMG, IMG, 3)).astype(np.float32),
+        "image": rng.random((B, IH, IW, 3)).astype(np.float32),
         "gt_boxes": np.concatenate([raw.min(2), raw.max(2)], -1),
         "gt_classes": rng.integers(0, 25, (B, MAXB)).astype(np.int32),
         "gt_valid": (rng.random((B, MAXB)) < 0.5).astype(np.float32),
@@ -377,12 +472,85 @@ def bench_detector_train(n_chips: int) -> dict:
         params, opt_state, losses = step(params, opt_state, db, key)
     np.asarray(losses["total"])
     dt = time.perf_counter() - t0
-    return {"detector_train_imgs_per_sec_per_chip":
-            round(B * 10 / dt / n_chips, 2)}
+    imgs_per_sec = B * 10 / dt / n_chips
+    out = {f"detector_train_imgs_per_sec_per_chip{key_suffix}":
+           round(imgs_per_sec, 2)}
+    if with_mfu:
+        try:
+            flops = detector_train_flops(img_hw, batch_per_chip)
+            tf_per_chip = flops * (imgs_per_sec / batch_per_chip) / 1e12
+            out[f"detector_train_step_tflop{key_suffix}"] = round(
+                flops / 1e12, 3)
+            out[f"detector_mfu_pct{key_suffix}"] = round(
+                100.0 * tf_per_chip / V5E_PEAK_BF16_TFLOPS, 1)
+        except Exception as e:
+            out[f"detector_mfu_error{key_suffix}"] = str(e)[:200]
+    return out
+
+
+def bench_roofline(model, variables, tx, db, n_chips: int) -> dict:
+    """Decompose the train step's time: forward-only, forward+backward,
+    full step (+optimizer), and a dropout-off step. The deltas attribute
+    the non-matmul gap (MFU denominator: analytic_train_flops)."""
+    import functools
+    import jax
+
+    key = jax.random.key(5, impl="rbg")
+    params = variables["params"]
+
+    def timed(fn, *args, fetch):
+        out = fn(*args)
+        np.asarray(fetch(out))
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            out = fn(*args)
+        np.asarray(fetch(out))
+        return (time.perf_counter() - t0) / MEASURE_STEPS * 1000  # ms
+
+    B = db["tokens"].shape[0]
+
+    fwd = jax.jit(functools.partial(
+        lambda p, b: model.apply({"params": p}, b, train=True,
+                                 rngs={"dropout": key}).loss))
+    fwd_ms = timed(fwd, params, db, fetch=lambda o: o)
+
+    grad = jax.jit(jax.grad(
+        lambda p, b: model.apply({"params": p}, b, train=True,
+                                 rngs={"dropout": key}).loss))
+    grad_ms = timed(grad, params, db,
+                    fetch=lambda o: jax.tree.leaves(o)[0])
+
+    grad_det = jax.jit(jax.grad(
+        lambda p, b: model.apply({"params": p}, b, train=True,
+                                 deterministic=True).loss))
+    grad_det_ms = timed(grad_det, params, db,
+                        fetch=lambda o: jax.tree.leaves(o)[0])
+
+    from crct_tpu.train.train_loop import make_train_step
+    step = jax.jit(make_train_step(model, tx))
+    opt_state = jax.jit(tx.init)(params)
+    sfn = lambda p, o: step(p, o, db, key)     # no donation: p reused
+    step_ms = timed(sfn, params, opt_state, fetch=lambda o: o[2])
+
+    a = analytic_train_flops(B=B // n_chips)
+    fwd_tf, tot_tf = a / 3.0 / 1e12, a / 1e12
+    return {
+        "roofline_fwd_ms": round(fwd_ms, 1),
+        "roofline_fwd_mfu_pct": round(
+            100.0 * fwd_tf / (fwd_ms / 1000) / V5E_PEAK_BF16_TFLOPS, 1),
+        "roofline_grad_ms": round(grad_ms, 1),
+        "roofline_grad_mfu_pct": round(
+            100.0 * tot_tf / (grad_ms / 1000) / V5E_PEAK_BF16_TFLOPS, 1),
+        "roofline_grad_no_dropout_ms": round(grad_det_ms, 1),
+        "roofline_step_ms": round(step_ms, 1),
+        "roofline_optimizer_ms": round(step_ms - grad_ms, 1),
+        "roofline_dropout_ms": round(grad_ms - grad_det_ms, 1),
+    }
 
 
 def main(pallas: bool = False, include_e2e: bool = False,
-         include_detector_train: bool = False) -> None:
+         include_detector_train: bool = False,
+         include_detector_800: bool = True) -> None:
     import jax
     import optax
     from __graft_entry__ import _synthetic_step_batch
@@ -440,8 +608,21 @@ def main(pallas: bool = False, include_e2e: bool = False,
                                      * 1000, 1)
         aux["mfu_pct_v5e_bf16"] = round(
             100.0 * tflops_per_chip / V5E_PEAK_BF16_TFLOPS, 1)
+        # honest second anchor: analytic useful-matmul FLOPs (no masked /
+        # padded / elementwise work) — the conservative MFU
+        a_flops = analytic_train_flops(B=BATCH_PER_CHIP)
+        aux["train_step_tflop_analytic"] = round(a_flops / 1e12, 3)
+        aux["mfu_pct_v5e_bf16_analytic"] = round(
+            100.0 * a_flops * (qa_pairs_per_sec_per_chip / BATCH_PER_CHIP)
+            / 1e12 / V5E_PEAK_BF16_TFLOPS, 1)
     except Exception as e:
         aux["mfu_error"] = str(e)[:200]
+    import sys as _sys
+    if "--roofline" in _sys.argv:
+        try:
+            aux.update(bench_roofline(model, variables, tx, db, n_chips))
+        except Exception as e:
+            aux["roofline_error"] = str(e)[:200]
     aux.update(bench_eval(model, params, np.random.default_rng(1), n_chips))
     aux.update(bench_fast_scorer(cfg, np.random.default_rng(2), n_chips))
     aux.update(bench_input_pipeline())
@@ -452,10 +633,21 @@ def main(pallas: bool = False, include_e2e: bool = False,
         except Exception as e:
             aux["e2e_error"] = str(e)[:200]
     if include_detector_train:
+        # the 512px single-chip-optimum number (--all only; the default
+        # run carries the production 800px shape below)
         try:
             aux.update(bench_detector_train(n_chips))
         except Exception as e:
             aux["detector_train_error"] = str(e)[:200]
+    if include_detector_800:
+        try:
+            # production shape: 800px shortest edge (canvas 800x1088,
+            # /32-aligned), Detectron2's 2 imgs/GPU recipe; with MFU
+            aux.update(bench_detector_train(
+                n_chips, img_hw=(800, 1088), batch_per_chip=2,
+                key_suffix="_800px", with_mfu=True))
+        except Exception as e:
+            aux["detector_train_800px_error"] = str(e)[:200]
     print(json.dumps({
         "metric": "train QA-pairs/sec/chip (batch 80, bf16, full CRCT)",
         "value": round(qa_pairs_per_sec_per_chip, 2),
@@ -470,4 +662,5 @@ if __name__ == "__main__":
     import sys
     main(pallas="--pallas" in sys.argv,
          include_e2e="--no-e2e" not in sys.argv,
-         include_detector_train="--all" in sys.argv)
+         include_detector_train="--all" in sys.argv,
+         include_detector_800="--no-detector" not in sys.argv)

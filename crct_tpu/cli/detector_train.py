@@ -97,25 +97,14 @@ def main(argv=None):
         return metrics
 
     os.makedirs(args.output_dir, exist_ok=True)
-    rng = np.random.default_rng(0)
-    order = rng.permutation(len(ds))
-    pos = 0
+    keys = ("image", "gt_boxes", "gt_classes", "gt_valid")
+    if with_mask:
+        keys += ("gt_masks28",)
+    from crct_tpu.detector.trainer import detector_batch_iterator
+    batches = detector_batch_iterator(ds, args.batch_size, keys,
+                                      args.max_iter)
     t0 = time.time()
-    for it in range(args.max_iter):
-        idx = []
-        for _ in range(args.batch_size):
-            if pos >= len(order):
-                order = rng.permutation(len(ds))
-                pos = 0
-            idx.append(int(order[pos]))
-            pos += 1
-        # one __getitem__ per index (each call decodes + resizes the PNG and
-        # rasterizes mask targets — fetching per-key repeated all of it)
-        examples = [ds[i] for i in idx]
-        keys = ("image", "gt_boxes", "gt_classes", "gt_valid")
-        if with_mask:
-            keys += ("gt_masks28",)
-        batch = {k: np.stack([ex[k] for ex in examples]) for k in keys}
+    for it, batch in enumerate(batches):
         losses = trainer.run_step(batch)
         if it % 20 == 0:
             msg = " ".join(f"{k}:{v:.4f}" for k, v in losses.items())

@@ -151,6 +151,49 @@ class DetectorTrainer:
         return {k: float(v) for k, v in losses.items()}
 
 
+def detector_batch_iterator(dataset, batch_size: int, keys, max_iter: int,
+                            *, seed: int = 0, prefetch: int = 2):
+    """Background-threaded batch producer for detector training.
+
+    __getitem__ costs ~25 ms/image at the 800px production shape (PNG
+    decode + resize + mask rasterization); fetched serially that is
+    host-bound against a ~150 ms train step. One producer thread builds
+    the next batches while the device executes the current step (PIL
+    decode/resize release the GIL). Shuffled epochs, wrap-around like the
+    reference's infinite Detectron2 loader."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def produce():
+        try:
+            rng = np.random.default_rng(seed)
+            order, pos = rng.permutation(len(dataset)), 0
+            for _ in range(max_iter):
+                idx = []
+                for _ in range(batch_size):
+                    if pos >= len(order):
+                        order, pos = rng.permutation(len(dataset)), 0
+                    idx.append(int(order[pos]))
+                    pos += 1
+                examples = [dataset[i] for i in idx]
+                q.put({k: np.stack([ex[k] for ex in examples])
+                       for k in keys})
+            q.put(None)
+        except BaseException as e:          # surface, don't hang the consumer
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def coco_evaluate(model: MaskRCNN, params, dataset, *,
                   max_images: Optional[int] = None,
                   infer_batch: int = 8) -> Dict[str, float]:

@@ -170,3 +170,30 @@ def test_augmentation_flip_consistency(tmp_path):
     e1, e2 = base[0], base[0]
     np.testing.assert_array_equal(e1["image"], e2["image"])
     assert e1["flipped"] is False
+
+
+def test_detector_batch_iterator_prefetch(tmp_path):
+    """The threaded batch producer yields exactly max_iter fixed-shape
+    batches, shuffles with wrap-around, and surfaces producer errors."""
+    from crct_tpu.detector.trainer import detector_batch_iterator
+    ann, img_dir = make_coco_fixture(tmp_path, n_images=3, size=64)
+    ds = CocoDataset(ann, img_dir, max_boxes=8, short_edge=64, max_size=64,
+                     with_masks=True)
+    keys = ("image", "gt_boxes", "gt_classes", "gt_valid", "gt_masks28")
+    batches = list(detector_batch_iterator(ds, 2, keys, max_iter=4, seed=1))
+    assert len(batches) == 4
+    for b in batches:
+        assert set(b) == set(keys)
+        assert b["image"].shape == (2, 64, 64, 3)
+        assert b["gt_masks28"].shape == (2, 8, 28, 28)
+
+    class Boom:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="boom"):
+        next(detector_batch_iterator(Boom(), 2, keys, max_iter=1))
