@@ -418,7 +418,7 @@ def detector_train_flops(img_hw, batch: int) -> float:
 
 def bench_detector_train(n_chips: int, *, img_hw=(512, 512),
                          batch_per_chip: int = 8, key_suffix: str = "",
-                         with_mfu: bool = False) -> dict:
+                         with_mfu: bool = False, dtype=None) -> dict:
     """Detector train-step throughput: Mask R-CNN R50-FPN, synthetic batch,
     the reference solver (frcnn.py:167-175). Default 512px / batch 8 (the
     measured single-chip optimum); the ``--all`` path also runs the
@@ -436,7 +436,8 @@ def bench_detector_train(n_chips: int, *, img_hw=(512, 512),
 
     B, (IH, IW), MAXB = batch_per_chip * n_chips, img_hw, 40
     rng = np.random.default_rng(0)
-    model = MaskRCNN(num_classes=25, with_mask=True)
+    model = MaskRCNN(num_classes=25, with_mask=True,
+                     dtype=dtype or jnp.float32)
     raw = np.sort(rng.random((B, MAXB, 2, 2), np.float32)
                   * min(IH, IW), axis=2)
     batch = {
@@ -576,6 +577,14 @@ def main(pallas: bool = False, include_e2e: bool = False,
     params_dict = dict(lr=2e-5, image_lr=2e-5, min_lr=1.3e-5, warmup=3000,
                        wd=0.01)
     tx = make_optimizer(params_dict, variables["params"], iters_per_epoch=1000)
+    import sys as _sys
+    roofline_params = None
+    if "--roofline" in _sys.argv:
+        # on a 1-device mesh replicate() aliases the init arrays, and the
+        # timed loop below DONATES them — the roofline pass needs its own
+        # undonated copy of the initial params
+        import jax.numpy as _jnp
+        roofline_params = jax.tree.map(_jnp.copy, variables["params"])
     params = replicate(variables["params"], mesh)
     opt_state = replicate(tx.init(variables["params"]), mesh)
     db = shard_batch(batch, mesh)
@@ -617,10 +626,10 @@ def main(pallas: bool = False, include_e2e: bool = False,
             / 1e12 / V5E_PEAK_BF16_TFLOPS, 1)
     except Exception as e:
         aux["mfu_error"] = str(e)[:200]
-    import sys as _sys
-    if "--roofline" in _sys.argv:
+    if roofline_params is not None:
         try:
-            aux.update(bench_roofline(model, variables, tx, db, n_chips))
+            aux.update(bench_roofline(model, {"params": roofline_params},
+                                      tx, db, n_chips))
         except Exception as e:
             aux["roofline_error"] = str(e)[:200]
     aux.update(bench_eval(model, params, np.random.default_rng(1), n_chips))
@@ -639,6 +648,15 @@ def main(pallas: bool = False, include_e2e: bool = False,
             aux.update(bench_detector_train(n_chips))
         except Exception as e:
             aux["detector_train_error"] = str(e)[:200]
+        try:
+            # opt-in bf16 detector training (cli --bf16): bf16 backbone/
+            # heads, f32 box decode + losses
+            import jax.numpy as _jnp
+            aux.update(bench_detector_train(
+                n_chips, img_hw=(800, 1088), batch_per_chip=2,
+                key_suffix="_800px_bf16", dtype=_jnp.bfloat16))
+        except Exception as e:
+            aux["detector_train_800px_bf16_error"] = str(e)[:200]
     if include_detector_800:
         try:
             # production shape: 800px shortest edge (canvas 800x1088,

@@ -46,6 +46,10 @@ def main(argv=None):
                         "--load-weights (reference FREEZE_AT), else 0")
     p.add_argument("--test", action="store_true", help="evaluation only")
     p.add_argument("--eval-images", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations in the backbone/heads (box "
+                        "decoding and losses stay f32); the reference "
+                        "recipe is fp32 — opt-in throughput trade")
     p.add_argument("--no-augment", action="store_true",
                    help="disable train-time random hflip + multi-scale "
                         "shortest-edge sampling (on by default, matching "
@@ -78,12 +82,15 @@ def main(argv=None):
     freeze_at = args.freeze_at
     if freeze_at is None:
         freeze_at = 2 if args.load_weights else 0
+    import jax.numpy as jnp
     trainer = DetectorTrainer(ds, num_classes=len(ds.categories),
                               with_mask=with_mask, depth=depth,
                               batch_size=args.batch_size,
                               base_lr=args.base_lr,
                               stride_in_1x1=stride_in_1x1,
-                              freeze_at=freeze_at)
+                              freeze_at=freeze_at,
+                              dtype=jnp.bfloat16 if args.bf16
+                              else jnp.float32)
     if args.load_weights:
         import jax
         from crct_tpu.detector.convert import restore_detector_params

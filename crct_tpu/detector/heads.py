@@ -76,6 +76,10 @@ def box_head_inference(scores: jnp.ndarray, deltas: jnp.ndarray,
                        max_detections: int = 100):
     """Per-proposal best-class selection, delta decode, thresholded batched
     NMS; returns fixed-size (boxes, scores, classes, valid, kept_row)."""
+    # box decoding and scoring stay f32 even under a bf16 model: bf16 box
+    # coordinates on a 1344px canvas quantize to whole pixels
+    scores = scores.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
     fg = probs[:, :-1]                                # drop background col
     cls = jnp.argmax(fg, axis=-1)
@@ -99,6 +103,10 @@ def box_head_losses(scores: jnp.ndarray, deltas: jnp.ndarray,
                     gt_class: jnp.ndarray, sample_weight: jnp.ndarray,
                     is_fg: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Softmax CE over classes (+bg) and smooth-L1 on fg rows."""
+    # losses always reduce in f32 (no-op for an f32 model; keeps the
+    # opt-in bf16 detector's loss numerics stable)
+    scores = scores.astype(jnp.float32)
+    deltas = deltas.astype(jnp.float32)
     num_classes = deltas.shape[1]
     labels = jnp.where(is_fg, gt_class, num_classes)   # bg = last index
     logp = jax.nn.log_softmax(scores, axis=-1)
@@ -123,6 +131,7 @@ def box_head_losses(scores: jnp.ndarray, deltas: jnp.ndarray,
 def mask_loss(mask_logits: jnp.ndarray, gt_masks: jnp.ndarray,
               gt_class: jnp.ndarray, fg_weight: jnp.ndarray) -> jnp.ndarray:
     """Per-class BCE on 28x28 mask targets of the sampled foreground rows."""
+    mask_logits = mask_logits.astype(jnp.float32)
     num_classes = mask_logits.shape[-1]
     safe_cls = jnp.clip(gt_class, 0, num_classes - 1)
     sel = jnp.take_along_axis(

@@ -62,8 +62,11 @@ def propose(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray],
     H, W = image_hw
     for lg, dl, an in zip(logits, deltas, anchors):
         k = min(pre_nms_topk, lg.shape[0])
-        top_scores, idx = jax.lax.top_k(lg, k)
-        dec = box_ops.decode_deltas(dl[idx], jnp.asarray(an)[idx])
+        # f32 decode under a bf16 model: box coords must keep sub-pixel
+        # precision on large canvases
+        top_scores, idx = jax.lax.top_k(lg.astype(jnp.float32), k)
+        dec = box_ops.decode_deltas(dl[idx].astype(jnp.float32),
+                                    jnp.asarray(an)[idx])
         dec = box_ops.clip_boxes(dec, H, W)
         cand_boxes.append(dec)
         cand_scores.append(top_scores)
@@ -85,8 +88,9 @@ def rpn_losses(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray],
                batch_per_image: int = 256, pos_fraction: float = 0.5
                ) -> Dict[str, jnp.ndarray]:
     """Objectness BCE + box smooth-L1 over a 256-anchor fixed sample."""
-    all_logits = jnp.concatenate(list(logits))
-    all_deltas = jnp.concatenate(list(deltas))
+    # f32 loss boundary (no-op for an f32 model; see box_head_losses)
+    all_logits = jnp.concatenate(list(logits)).astype(jnp.float32)
+    all_deltas = jnp.concatenate(list(deltas)).astype(jnp.float32)
     all_anchors = jnp.asarray(np.concatenate(anchors))
     matched_gt, label = box_ops.match_anchors(
         all_anchors, gt_boxes, gt_valid, pos_thr=0.7, neg_thr=0.3)

@@ -101,7 +101,8 @@ class DetectorTrainer:
                  depth: int = 50, batch_size: int = 2, base_lr: float = 2.5e-4,
                  seed: int = 0, roi_batch: int = 256,
                  post_nms_topk: int = 512, batch_multiply: int = 1,
-                 stride_in_1x1: bool = False, freeze_at: int = 0):
+                 stride_in_1x1: bool = False, freeze_at: int = 0,
+                 dtype=jnp.float32):
         self.dataset = dataset
         self.batch_size = batch_size
         # mesh size must divide the image batch
@@ -113,7 +114,7 @@ class DetectorTrainer:
                               post_nms_topk_train=post_nms_topk,
                               post_nms_topk_test=post_nms_topk,
                               stride_in_1x1=stride_in_1x1,
-                              freeze_at=freeze_at)
+                              freeze_at=freeze_at, dtype=dtype)
         sample = dataset[0]
         init = jax.jit(partial(self._init_fn, sample))(jax.random.key(seed))
         self.params = init

@@ -154,3 +154,45 @@ def test_fg_subset_mask_loss_equals_all_roi(tiny_detector):
     sel = jnp.argsort(~is_fg, stable=True)[:R // 4]
     sub = mask_loss(mlogits[sel], gt_masks[sel], gt_cls[sel], fg_w[sel])
     np.testing.assert_allclose(float(full), float(sub), rtol=1e-6)
+
+
+def test_bf16_train_and_inference():
+    """Opt-in bf16 detector (--bf16): the train step stays finite with f32
+    loss numerics at the boundary, and inference box coordinates remain
+    f32 (bf16 coords would quantize to whole pixels on large canvases)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from crct_tpu.detector.mask_rcnn import MaskRCNN
+
+    rng = np.random.default_rng(0)
+    model = MaskRCNN(num_classes=4, with_mask=True, depth=14,
+                     roi_batch=16, post_nms_topk_train=16,
+                     post_nms_topk_test=16, dtype=jnp.bfloat16)
+    img = jnp.asarray(rng.random((64, 64, 3)), jnp.float32)
+    raw = np.sort(rng.random((6, 2, 2)).astype(np.float32) * 64, axis=1)
+    gtb = jnp.asarray(np.concatenate([raw[:, 0], raw[:, 1]], -1))
+    gtc = jnp.asarray(rng.integers(0, 4, 6), jnp.int32)
+    gtv = jnp.ones((6,), jnp.float32)
+    gtm = jnp.asarray((rng.random((6, 28, 28)) < 0.5), jnp.float32)
+    key = jax.random.key(0)
+    variables = model.init(key, img, train=True, gt_boxes=gtb,
+                           gt_classes=gtc, gt_valid=gtv, gt_masks28=gtm,
+                           rng=key)
+
+    losses = model.apply(variables, img, train=True, gt_boxes=gtb,
+                         gt_classes=gtc, gt_valid=gtv, gt_masks28=gtm,
+                         rng=key)
+    for k, v in losses.items():
+        assert v.dtype == jnp.float32, (k, v.dtype)
+        assert np.isfinite(float(v)), (k, float(v))
+    # gradient flows through the bf16 path (advisor fix: cotangent dtypes)
+    grads = jax.grad(lambda p: model.apply(
+        {"params": p}, img, train=True, gt_boxes=gtb, gt_classes=gtc,
+        gt_valid=gtv, gt_masks28=gtm, rng=key)["total"])(variables["params"])
+    assert np.isfinite(float(jnp.asarray(
+        jax.tree.leaves(grads)[0]).astype(jnp.float32).sum()))
+
+    out = model.apply(variables, img, train=False)
+    assert out["boxes"].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out["scores"], np.float32)).all()
