@@ -116,14 +116,30 @@ def bench_input_pipeline() -> dict:
         return {"input_pipeline_samples_per_sec_per_host": round(n / dt, 1)}
 
 
-def train_step_flops() -> float:
-    """Analytic train-step FLOPs (batch 80) from XLA's cost model, computed
-    by CPU-lowering the grad step in a subprocess (the axon backend returns
-    no pre-compile cost analysis). Anchors the throughput number to
-    hardware via MFU instead of only the estimated GPU baseline."""
+def _lowered_flops(code: str, timeout: int = 600) -> float:
+    """Run ``code`` (which must print 'FLOPS <n>') in a CPU-forced
+    subprocess and return the number — the shared scaffold for XLA
+    cost-model queries (the axon backend returns no pre-compile cost
+    analysis, so lowering happens on the CPU backend)."""
     import os
     import subprocess
     import sys
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                         capture_output=True, text=True, timeout=timeout)
+    for line in out.stdout.splitlines():
+        if line.startswith("FLOPS "):
+            return float(line.split()[1])
+    raise RuntimeError(out.stderr[-500:])
+
+
+def train_step_flops() -> float:
+    """Train-step FLOPs (batch 80) from XLA's cost model, computed by
+    CPU-lowering the grad step in a subprocess. Anchors the throughput
+    number to hardware via MFU instead of only the estimated GPU
+    baseline."""
     code = (
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import numpy as np, functools, jax.numpy as jnp\n"
@@ -144,15 +160,7 @@ def train_step_flops() -> float:
         "low = jax.jit(jax.grad(fwd)).lower(params, jax.tree.map(lambda x:"
         " jax.ShapeDtypeStruct(x.shape, x.dtype), b))\n"
         "print('FLOPS', low.cost_analysis().get('flops'))\n")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    repo = os.path.dirname(os.path.abspath(__file__))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
-                         capture_output=True, text=True, timeout=600)
-    for line in out.stdout.splitlines():
-        if line.startswith("FLOPS "):
-            return float(line.split()[1])
-    raise RuntimeError(out.stderr[-500:])
+    return _lowered_flops(code)
 
 
 def analytic_train_flops(B: int = 80, L: int = 124, R: int = 44) -> float:
@@ -370,9 +378,6 @@ def bench_e2e_charts(n_chips: int) -> dict:
 def detector_train_flops(img_hw, batch: int) -> float:
     """XLA cost-model FLOPs of one detector train step (CPU lowering in a
     subprocess, like train_step_flops)."""
-    import os
-    import subprocess
-    import sys
     code = (
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import numpy as np, jax.numpy as jnp\n"
@@ -405,15 +410,7 @@ def detector_train_flops(img_hw, batch: int) -> float:
         "low = jax.jit(step).lower(params, opt, batch,"
         " sds((), jax.random.key(0).dtype))\n"
         "print('FLOPS', low.cost_analysis().get('flops'))\n")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    repo = os.path.dirname(os.path.abspath(__file__))
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
-                         capture_output=True, text=True, timeout=900)
-    for line in out.stdout.splitlines():
-        if line.startswith("FLOPS "):
-            return float(line.split()[1])
-    raise RuntimeError(out.stderr[-500:])
+    return _lowered_flops(code, timeout=900)
 
 
 def bench_detector_train(n_chips: int, *, img_hw=(512, 512),
@@ -577,14 +574,6 @@ def main(pallas: bool = False, include_e2e: bool = False,
     params_dict = dict(lr=2e-5, image_lr=2e-5, min_lr=1.3e-5, warmup=3000,
                        wd=0.01)
     tx = make_optimizer(params_dict, variables["params"], iters_per_epoch=1000)
-    import sys as _sys
-    roofline_params = None
-    if "--roofline" in _sys.argv:
-        # on a 1-device mesh replicate() aliases the init arrays, and the
-        # timed loop below DONATES them — the roofline pass needs its own
-        # undonated copy of the initial params
-        import jax.numpy as _jnp
-        roofline_params = jax.tree.map(_jnp.copy, variables["params"])
     params = replicate(variables["params"], mesh)
     opt_state = replicate(tx.init(variables["params"]), mesh)
     db = shard_batch(batch, mesh)
@@ -626,15 +615,21 @@ def main(pallas: bool = False, include_e2e: bool = False,
             / 1e12 / V5E_PEAK_BF16_TFLOPS, 1)
     except Exception as e:
         aux["mfu_error"] = str(e)[:200]
-    if roofline_params is not None:
-        try:
-            aux.update(bench_roofline(model, {"params": roofline_params},
-                                      tx, db, n_chips))
-        except Exception as e:
-            aux["roofline_error"] = str(e)[:200]
     aux.update(bench_eval(model, params, np.random.default_rng(1), n_chips))
     aux.update(bench_fast_scorer(cfg, np.random.default_rng(2), n_chips))
     aux.update(bench_input_pipeline())
+    import sys as _sys
+    if "--roofline" in _sys.argv:
+        # LAST, with the optimizer state freed: the roofline compiles 4
+        # extra executables and initializes its own opt state — alongside
+        # the full bench state it exhausts the 16G HBM. The post-training
+        # `params` (alive after the donated loop) serve as its weights.
+        del opt_state, metrics
+        try:
+            aux.update(bench_roofline(model, {"params": params}, tx, db,
+                                      n_chips))
+        except Exception as e:
+            aux["roofline_error"] = str(e)[:200]
     if include_e2e:
         # ~2 min (detector + eval compile passes); never sink the headline
         try:

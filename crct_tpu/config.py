@@ -263,7 +263,11 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
 
 
 def default_params(**overrides: Any) -> Dict[str, Any]:
-    """A params dict with reference defaults, for library/test use without CLI."""
+    """A params dict with REFERENCE defaults, for library/test use without
+    CLI. Note eval_batch_size=10 is the reference's protocol value
+    (CRCT/options.py) — the CLI default is None (auto ~480 rows x chip,
+    see train/eval_loop.resolve_eval_chunk); pass eval_batch_size=None
+    explicitly to opt a library caller into the auto scaling."""
     params: Dict[str, Any] = dict(
         start_checkpoint='', model_config='', num_workers=0, batch_size=8,
         num_epochs=1, batch_multiply=1, lr=2e-5, image_lr=2e-5, min_lr=1.3e-5,

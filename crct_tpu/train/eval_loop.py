@@ -196,11 +196,13 @@ def resolve_eval_question_batch(params: Dict[str, Any]) -> int:
     sized both the loader batch and the model chunk); in auto mode, pull
     enough questions that each loader batch fills several row chunks
     (typical questions carry ~20-40 valid candidate rows, capped at
-    EVAL_PADDED_SIZE=120)."""
+    EVAL_PADDED_SIZE=120). Capped at 128: each padded eval question is
+    ~22 MB host-side (image_feat [120, 44, 1024] f32), and the loader
+    keeps a few batches in flight — the cap bounds that at ~3 GB/batch."""
     ebs = params.get("eval_batch_size")
     if ebs:
         return max(1, int(ebs))
-    return max(8, resolve_eval_chunk(params) // 12)
+    return max(8, min(resolve_eval_chunk(params) // 12, 128))
 
 
 def shortlist_rescore_rows(batch: Dict[str, Any],
@@ -413,6 +415,13 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     log_print = log_print or (lambda msg: print(msg, flush=True))
     chunk = eval_batch_size or resolve_eval_chunk(params)
     chunk = max(chunk, 1)
+    # the fast paths dispatch per-QUESTION rows; sizing those dispatches at
+    # the candidate-ROW chunk would zero-pad every ~40-question loader
+    # batch up to 480 rows of full backbone compute. In auto mode they get
+    # the question-batch size instead (explicit -eval_batch_size keeps the
+    # reference's one-number semantics for both).
+    qchunk = eval_batch_size or resolve_eval_question_batch(params)
+    qchunk = max(qchunk, 1)
     # data-parallel eval over the local mesh: chunks shard on the leading
     # (row) axis, params replicate (the reference's per-GPU DDP eval,
     # evaluation.py:134-153, within one host)
@@ -423,6 +432,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             if n_local > 1 else None)
     if mesh is not None:
         chunk = ((chunk + n_local - 1) // n_local) * n_local
+        qchunk = ((qchunk + n_local - 1) // n_local) * n_local
         model_params = _replicate(model_params, mesh)
         row_sharding = batch_sharding(mesh)
     allreduce = allreduce or (lambda x: x)
@@ -433,8 +443,12 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     # whenever the true answer is in the shortlist, at ~(P/K)x less full
     # model compute than the reference fan-out (fig_dataloader.py:282-291)
     topk = int(params.get("fast_scorer_topk") or 0) if fast else 0
+    if params.get("fast_scorer_topk") and not fast:
+        log_print("WARNING: -fast_scorer_topk has no effect without "
+                  "-fast_scorer (running the full reference protocol)")
     eval_step = _cached_eval_step(model, "fast" if fast else "rank")
     rank_step = _cached_eval_step(model, "rank") if topk else None
+    regs_mode = bool(params.get("qa_file")) and "_REGS" in str(params["qa_file"])
 
     breakdown = np.zeros((5, 4, 3, 3), np.float64)
     total_correct = np.zeros((6, 2), np.float64)
@@ -448,10 +462,10 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
 
     inf_time = [0.0, 0]
 
-    def run_chunks(rows, step=None):
+    def run_chunks(rows, step=None, chunk_size=None):
         step = step or eval_step
         collected = None
-        for piece, valid in _chunk_rows(rows, chunk):
+        for piece, valid in _chunk_rows(rows, chunk_size or chunk):
             t0 = time.time()
             if mesh is not None:
                 piece = {k: jax.device_put(v, row_sharding)
@@ -480,13 +494,11 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             # numerics whenever the true answer makes the shortlist)
             frows = build_fast_rows(batch)
             cand_valid = frows["cand_valid"] > 0            # [B, P]
-            cand_logits, _, _, _ = run_chunks(frows)
+            cand_logits, _, _, _ = run_chunks(frows, chunk_size=qchunk)
             B, P = cand_logits.shape
             K = min(topk, P)
             top_idx = np.argsort(-cand_logits, axis=1,
                                  kind="stable")[:, :K]
-            regs_mode = bool(params.get("qa_file")) and \
-                "_REGS" in params["qa_file"]
             if regs_mode:
                 # regression-only eval scores the GT candidate's row;
                 # pin it into the shortlist so its outputs exist
@@ -514,8 +526,8 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             # one backbone pass per question + light candidate head; the
             # regression outputs come from the same answer-masked pass
             cand_logits, ans_reg_out, ans_reg5, ans_regl1 = run_chunks(
-                build_fast_rows(batch))
-            if params.get("qa_file") and "_REGS" in params["qa_file"]:
+                build_fast_rows(batch), chunk_size=qchunk)
+            if regs_mode:
                 answers_idx = gt_id.astype(np.int64)
             else:
                 answers_idx = np.argmax(cand_logits, axis=-1)
@@ -537,7 +549,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             # probs — replaces the reference's per-question Python loop
             # (evaluation.py:287-296); first-max tie-breaking preserved
             starts = offsets[:-1].astype(np.int64)
-            if params.get("qa_file") and "_REGS" in params["qa_file"]:
+            if regs_mode:
                 answers_idx = gt_id.astype(np.int64)
             else:
                 answers_idx = segmented_argmax(nsp_probs, offsets)

@@ -195,8 +195,9 @@ def test_resolve_eval_chunk_auto_scales_and_respects_explicit():
     n = len(jax.local_devices())
     auto = {"eval_batch_size": None}
     assert resolve_eval_chunk(auto) == EVAL_AUTO_ROWS_PER_CHIP * n
-    # auto question batches pull several chunks worth of rows per loader batch
-    assert resolve_eval_question_batch(auto) >= 8
+    # auto question batches pull several chunks worth of rows per loader
+    # batch, capped to bound host memory (~22 MB per padded eval question)
+    assert 8 <= resolve_eval_question_batch(auto) <= 128
     explicit = {"eval_batch_size": 10}
     assert resolve_eval_chunk(explicit) == 10
     assert resolve_eval_question_batch(explicit) == 10

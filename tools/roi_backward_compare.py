@@ -12,10 +12,13 @@ Numbers land in docs/BENCHMARKS.md (detector section).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
