@@ -486,10 +486,14 @@ def bench_detector_train(n_chips: int, *, img_hw=(512, 512),
     return out
 
 
-def bench_roofline(model, variables, tx, db, n_chips: int) -> dict:
-    """Decompose the train step's time: forward-only, forward+backward,
-    full step (+optimizer), and a dropout-off step. The deltas attribute
-    the non-matmul gap (MFU denominator: analytic_train_flops)."""
+def bench_roofline(model, variables, tx, db, n_chips: int,
+                   step_ms_headline: float) -> dict:
+    """Decompose the train step's time: forward-only, forward+backward and
+    a dropout-off backward; the optimizer's share is the headline step
+    time minus the measured grad time (timing a second full-step
+    executable here is unreliable — after three extra executables HBM is
+    fragmented and the step pages instead of running at speed). MFU
+    denominators come from analytic_train_flops."""
     import functools
     import jax
 
@@ -524,12 +528,7 @@ def bench_roofline(model, variables, tx, db, n_chips: int) -> dict:
     grad_det_ms = timed(grad_det, params, db,
                         fetch=lambda o: jax.tree.leaves(o)[0])
 
-    from crct_tpu.train.train_loop import make_train_step
-    step = jax.jit(make_train_step(model, tx))
-    opt_state = jax.jit(tx.init)(params)
-    sfn = lambda p, o: step(p, o, db, key)     # no donation: p reused
-    step_ms = timed(sfn, params, opt_state, fetch=lambda o: o[2])
-
+    step_ms = step_ms_headline
     a = analytic_train_flops(B=B // n_chips)
     fwd_tf, tot_tf = a / 3.0 / 1e12, a / 1e12
     return {
@@ -626,8 +625,10 @@ def main(pallas: bool = False, include_e2e: bool = False,
         # `params` (alive after the donated loop) serve as its weights.
         del opt_state, metrics
         try:
-            aux.update(bench_roofline(model, {"params": params}, tx, db,
-                                      n_chips))
+            aux.update(bench_roofline(
+                model, {"params": params}, tx, db, n_chips,
+                step_ms_headline=B / qa_pairs_per_sec_per_chip / n_chips
+                * 1000))
         except Exception as e:
             aux["roofline_error"] = str(e)[:200]
     if include_e2e:
