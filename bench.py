@@ -116,31 +116,40 @@ def bench_input_pipeline() -> dict:
         return {"input_pipeline_samples_per_sec_per_host": round(n / dt, 1)}
 
 
-def _lowered_flops(code: str, timeout: int = 600) -> float:
-    """Run ``code`` (which must print 'FLOPS <n>') in a CPU-forced
-    subprocess and return the number — the shared scaffold for XLA
-    cost-model queries (the axon backend returns no pre-compile cost
-    analysis, so lowering happens on the CPU backend)."""
+def _lowered_flops_start(code: str):
+    """Launch the CPU-forced cost-model subprocess (prints 'FLOPS <n>')
+    WITHOUT blocking — the lowering overlaps the TPU measurement; join
+    with _lowered_flops_join. (The axon backend returns no pre-compile
+    cost analysis, so lowering happens on the CPU backend.)"""
     import os
     import subprocess
     import sys
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     repo = os.path.dirname(os.path.abspath(__file__))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
-                         capture_output=True, text=True, timeout=timeout)
-    for line in out.stdout.splitlines():
+    return subprocess.Popen([sys.executable, "-c", code], env=env, cwd=repo,
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True)
+
+
+def _lowered_flops_join(proc, timeout: int = 600) -> float:
+    out, err = proc.communicate(timeout=timeout)
+    for line in out.splitlines():
         if line.startswith("FLOPS "):
             return float(line.split()[1])
-    raise RuntimeError(out.stderr[-500:])
+    raise RuntimeError(err[-500:])
 
 
-def train_step_flops() -> float:
-    """Train-step FLOPs (batch 80) from XLA's cost model, computed by
-    CPU-lowering the grad step in a subprocess. Anchors the throughput
-    number to hardware via MFU instead of only the estimated GPU
-    baseline."""
-    code = (
+def _lowered_flops(code: str, timeout: int = 600) -> float:
+    """Blocking convenience wrapper over start/join."""
+    return _lowered_flops_join(_lowered_flops_start(code), timeout)
+
+
+def _train_step_flops_code() -> str:
+    """Code string for the QA train-step cost-model query (batch 80).
+    Anchors the throughput number to hardware via MFU instead of only the
+    estimated GPU baseline."""
+    return (
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import numpy as np, functools, jax.numpy as jnp\n"
         "from __graft_entry__ import _synthetic_step_batch\n"
@@ -160,7 +169,10 @@ def train_step_flops() -> float:
         "low = jax.jit(jax.grad(fwd)).lower(params, jax.tree.map(lambda x:"
         " jax.ShapeDtypeStruct(x.shape, x.dtype), b))\n"
         "print('FLOPS', low.cost_analysis().get('flops'))\n")
-    return _lowered_flops(code)
+
+
+def train_step_flops() -> float:
+    return _lowered_flops(_train_step_flops_code())
 
 
 def analytic_train_flops(B: int = 80, L: int = 124, R: int = 44) -> float:
@@ -375,10 +387,9 @@ def bench_e2e_charts(n_chips: int) -> dict:
         shutil.rmtree(td, ignore_errors=True)
 
 
-def detector_train_flops(img_hw, batch: int) -> float:
-    """XLA cost-model FLOPs of one detector train step (CPU lowering in a
-    subprocess, like train_step_flops)."""
-    code = (
+def _detector_train_flops_code(img_hw, batch: int) -> str:
+    """Code string for the detector train-step cost-model query."""
+    return (
         "import jax; jax.config.update('jax_platforms','cpu')\n"
         "import numpy as np, jax.numpy as jnp\n"
         "from crct_tpu.detector.mask_rcnn import MaskRCNN\n"
@@ -410,7 +421,11 @@ def detector_train_flops(img_hw, batch: int) -> float:
         "low = jax.jit(step).lower(params, opt, batch,"
         " sds((), jax.random.key(0).dtype))\n"
         "print('FLOPS', low.cost_analysis().get('flops'))\n")
-    return _lowered_flops(code, timeout=900)
+
+
+def detector_train_flops(img_hw, batch: int) -> float:
+    return _lowered_flops(_detector_train_flops_code(img_hw, batch),
+                          timeout=900)
 
 
 def bench_detector_train(n_chips: int, *, img_hw=(512, 512),
@@ -432,6 +447,11 @@ def bench_detector_train(n_chips: int, *, img_hw=(512, 512),
     from crct_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
     B, (IH, IW), MAXB = batch_per_chip * n_chips, img_hw, 40
+    # the CPU cost-model lowering (~minutes) overlaps the TPU compile +
+    # measurement; joined at the end
+    mfu_proc = (_lowered_flops_start(
+        _detector_train_flops_code(img_hw, batch_per_chip))
+        if with_mfu else None)
     rng = np.random.default_rng(0)
     model = MaskRCNN(num_classes=25, with_mask=True,
                      dtype=dtype or jnp.float32)
@@ -473,9 +493,9 @@ def bench_detector_train(n_chips: int, *, img_hw=(512, 512),
     imgs_per_sec = B * 10 / dt / n_chips
     out = {f"detector_train_imgs_per_sec_per_chip{key_suffix}":
            round(imgs_per_sec, 2)}
-    if with_mfu:
+    if mfu_proc is not None:
         try:
-            flops = detector_train_flops(img_hw, batch_per_chip)
+            flops = _lowered_flops_join(mfu_proc, timeout=900)
             tf_per_chip = flops * (imgs_per_sec / batch_per_chip) / 1e12
             out[f"detector_train_step_tflop{key_suffix}"] = round(
                 flops / 1e12, 3)
@@ -578,6 +598,8 @@ def main(pallas: bool = False, include_e2e: bool = False,
     db = shard_batch(batch, mesh)
 
     step = jax.jit(make_train_step(model, tx), donate_argnums=(0, 1))
+    # the CPU cost-model lowering overlaps the TPU compile + warmup
+    flops_proc = _lowered_flops_start(_train_step_flops_code())
     key = jax.random.key(2, impl="rbg")   # hardware RNG for dropout (+40%)
     for i in range(WARMUP_STEPS):
         params, opt_state, metrics = step(params, opt_state, db, key)
@@ -595,9 +617,9 @@ def main(pallas: bool = False, include_e2e: bool = False,
 
     aux = {"attention_path": "pallas" if pallas else "xla"}
     try:
-        # train_step_flops() lowers a batch-80 (PER-CHIP) step, so compute
+        # the lowering covers a batch-80 (PER-CHIP) step, so compute
         # per-chip FLOP/s against the single-chip peak — n_chips cancels
-        flops = train_step_flops()
+        flops = _lowered_flops_join(flops_proc)
         tflops_per_chip = flops * (qa_pairs_per_sec_per_chip
                                    / BATCH_PER_CHIP) / 1e12
         aux["train_step_tflop"] = round(flops / 1e12, 3)
