@@ -638,6 +638,16 @@ def main(pallas: bool = False, include_e2e: bool = False,
         aux["mfu_error"] = str(e)[:200]
     aux.update(bench_eval(model, params, np.random.default_rng(1), n_chips))
     aux.update(bench_fast_scorer(cfg, np.random.default_rng(2), n_chips))
+    # -fast_scorer_topk 8 composite: one fast backbone pass + 8 full-model
+    # candidate rows per question — exactly the two dispatch types
+    # measured above (host glue between them is negligible)
+    try:
+        t_q = (1.0 / aux["fast_scorer_questions_per_sec_per_chip"]
+               + 8.0 / aux["eval_candidate_rows_per_sec_per_chip"])
+        aux["fast_topk8_questions_per_sec_per_chip_derived"] = round(
+            1.0 / t_q, 1)
+    except (KeyError, ZeroDivisionError):
+        pass
     aux.update(bench_input_pipeline())
     import sys as _sys
     if "--roofline" in _sys.argv:
