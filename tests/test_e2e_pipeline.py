@@ -189,3 +189,68 @@ def test_demo_model_forward_on_records(png_env, tmp_path):
             "answer": None, "qid": None, "type": "dot"}
     pred2 = bot_model.forward(free)
     assert "cls_output" in pred2
+
+
+def test_demo_bot_repl_loop_scripted(png_env, tmp_path, monkeypatch, capsys):
+    """Drive PlotQABot.loop with scripted stdin: pick an image, answer a
+    listed question, ask a free-form one, probe a bad image id — the REPL
+    glue the reference exposes interactively (Interactive_demo.py:63-111)."""
+    with open(png_env["annotations"]) as f:
+        gt_ann = json.load(f)
+    _, cls_dict = get_nonvis_ids("plotqa")
+    gt_texts = get_gt_texts(gt_ann[0], cls_dict, "plotqa")
+    rng = np.random.default_rng(5)
+    n = 6
+    feats = rng.random((n, 64)).astype(np.float32)
+    classes = np.concatenate([[1000], rng.integers(8, 30, n - 1)])
+    boxes = np.concatenate([[[0, 0, 320, 240]],
+                            rng.random((n - 1, 4)) * 200]).astype(np.float32)
+    boxes[1:, 2:] = boxes[1:, :2] + 30
+    rec = build_feature_record(0, feats, classes, boxes, (240, 320),
+                               dataset="plotqa", gt_texts=gt_texts,
+                               ocr_mode="gt")
+    feat_root = tmp_path / "ff" / "test"
+    qa_root = tmp_path / "qa" / "test"
+    feat_root.mkdir(parents=True)
+    qa_root.mkdir(parents=True)
+    np.save(feat_root / "0.npy", np.asarray([rec], dtype=object),
+            allow_pickle=True)
+    qa_pairs = [{"image_index": 0, "qid": "S1", "type": "vbar",
+                 "question_string": "how many bars ?", "answer": 3}]
+    np.save(qa_root / "qa_pairs.npy", np.asarray(qa_pairs, dtype=object),
+            allow_pickle=True)
+    params = default_params(
+        figure_feat_path=str(tmp_path / "ff") + "/",
+        qa_parent_dir=str(tmp_path / "qa") + "/",
+        dataset_config={"dataset_files_divisions": {"test": 4}},
+        eval_set="test", eval_batch_size=64, BOT_MODE=True,
+        save_path=str(tmp_path / "results"),
+    )
+    from crct_tpu.cli.demo import PlotQABot, PlotQAModel
+    from crct_tpu.models.crct import CRCTModel
+    from crct_tpu.train.eval_loop import make_eval_step
+
+    bot = PlotQABot.__new__(PlotQABot)
+    bot.params = params
+    bot.dataset = ChartQADataset(params, "test", init_split="test")
+    bot.dataset.get_all_answers = True
+    bot.model = PlotQAModel(params, bot.dataset)
+    bot.model.model = CRCTModel(config=tiny_model_config(v_feature_size=64),
+                                categories=params["categories"])
+    bot.model.eval_step = make_eval_step(bot.model.model)
+    bot.img_to_qas = {}
+    for qa in bot.dataset.qa[bot.dataset.split]:
+        bot.img_to_qas.setdefault(qa["image_index"], []).append(qa)
+
+    # script: bad image id -> image 0 -> question 1 (GT path) ->
+    # free-form question -> run out of input (ends the REPL)
+    feed = iter(["99", "0", "1", "is this rising ?"])
+    monkeypatch.setattr("builtins.input", lambda *a: next(feed))
+    with pytest.raises(StopIteration):
+        bot.loop()
+    out = capsys.readouterr().out
+    assert "Nothing to ask about this image" in out
+    assert "<1>: how many bars ?" in out
+    assert "<GT>:  3" in out
+    assert "<CRCT>" in out
+    assert "[Answers probabilities]" in out
