@@ -164,7 +164,13 @@ class ChartQADataset:
             fig_feat = self.builder._cow_fig_feat(fig_feat)
             ColorMapping().feature_replace(self.params, qa_pair, fig_feat)
         negative = self._split == 'train' and qa_ind >= self.orig_len()
-        seed = (self.params.get('seed', 0) * 1_000_003 + qa_ind) & 0x7FFFFFFF
+        # mix the epoch in (set by DataLoader.set_epoch): the reference's
+        # unseeded np.random draws FRESH negatives and token/region masks
+        # every epoch (fig_dataloader.py:261, utils.py:74,129); a seed
+        # from qa_ind alone would replay identical draws each epoch
+        epoch = getattr(self, 'epoch', 0)
+        seed = ((self.params.get('seed', 0) * 1_000_003 + epoch * 988_663
+                 + qa_ind) & 0x7FFFFFFF)
         rng = np.random.default_rng(seed)
         return self.builder.build(fig_feat, qa_pair, split=self._split,
                                   negative=negative,
@@ -208,10 +214,11 @@ def _worker_build(job) -> Dict[str, Any]:
     if _WORKER_ERR is not None:
         raise RuntimeError(f"dataset worker failed to initialize: "
                            f"{_WORKER_ERR!r}")
-    indices, split, get_all = job
+    indices, split, get_all, epoch = job
     assert _WORKER_DS is not None
     _WORKER_DS.split = split
     _WORKER_DS.get_all_answers = get_all
+    _WORKER_DS.epoch = epoch
     return collate([_WORKER_DS[int(i)] for i in indices])
 
 
@@ -257,11 +264,20 @@ class DataLoader:
         self.indices = indices
         self.worker_mode = worker_mode or "thread"
         self._pool = None
+        self._idx_cache: Optional[tuple] = None   # (epoch, indices array)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # per-example RNG mixes the epoch in so negatives/masking resample
+        # every epoch (the reference's unseeded np.random draws fresh)
+        self.dataset.epoch = epoch
 
     def _epoch_indices(self) -> np.ndarray:
+        # cached per epoch: the train loop calls len(loader) several times
+        # per log line, and a full permutation over the (train-doubled)
+        # index array per call is hundreds of ms at PlotQA scale
+        if self._idx_cache is not None and self._idx_cache[0] == self.epoch:
+            return self._idx_cache[1]
         idx = (np.asarray(self.indices, np.int64) if self.indices is not None
                else np.arange(len(self.dataset), dtype=np.int64))
         if self.shuffle:
@@ -271,7 +287,9 @@ class DataLoader:
         total = -(-len(idx) // self.num_shards) * self.num_shards
         if total > len(idx) and len(idx) > 0:
             idx = np.concatenate([idx, idx[:total - len(idx)]])
-        return idx[self.shard_index::self.num_shards]
+        idx = idx[self.shard_index::self.num_shards]
+        self._idx_cache = (self.epoch, idx)
+        return idx
 
     def __len__(self) -> int:
         n = len(self._epoch_indices())
@@ -330,8 +348,8 @@ class DataLoader:
         window = 2 * self.num_workers
         pending = []
         for c in chunks:
-            pending.append(pool.apply_async(_worker_build,
-                                            ((c, split, get_all),)))
+            pending.append(pool.apply_async(
+                _worker_build, ((c, split, get_all, self.epoch),)))
             while len(pending) > window:
                 yield pending.pop(0).get(timeout=600)
         for fut in pending:

@@ -483,9 +483,10 @@ class ExampleBuilder:
                              and '_cls' not in params['qa_file']):
             gt_ind = possible_answers.index(REG_TOKEN)
             yt = ticks_values['y_axis']
-            tolerance_margin = float(np.mean(
-                [abs(float(yt[i][1]) - float(yt[i + 1][1]))
-                 for i in range(len(yt) - 1)])) / 2 if len(yt) > 1 else np.nan
+            # NOTE: the reference computes a per-chart half-mean-tick-gap
+            # tolerance here and then DISCARDS it (fig_dataloader.py:608-609
+            # — a dead local); R[2] always carries the constant -tol_margin.
+            # We skip the dead computation; behavior is identical.
             y_length = [abs(float(v) / float(p)) for v, p in yt]
             if params['BOT_MODE'] and qa_pair['answer'] is None:
                 gt_value = 1.0
@@ -554,6 +555,13 @@ class ExampleBuilder:
             if not params['fixed_vocab']:
                 for key in PADDING_TXT + PADDING_VIS:
                     item[key] = pad_first_dim(item[key], EVAL_PADDED_SIZE)
+                # a chart with >120 candidate texts truncates to the pad;
+                # num_ans must clamp with it (torch's x[i, :num_ans] slicing
+                # clamps silently in the reference, so an out-of-pad GT can
+                # simply never win — same semantics here). Unclamped, the
+                # flattened row indexing would read the NEXT question's rows.
+                item['num_ans'] = np.minimum(item['num_ans'],
+                                             EVAL_PADDED_SIZE)
         return item
 
     def _encode_visual(self, fig_feat, split, rng):

@@ -38,12 +38,18 @@ def maybe_initialize_distributed(params: Optional[Dict[str, Any]] = None) -> boo
     if p.get("dist_url") and not str(p["dist_url"]).startswith("file://"):
         addr = str(p["dist_url"]).replace("tcp://", "")
     addr = addr or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    # the params dict always carries world_size=1 / rank=0 DEFAULTS from
+    # argparse, so "unset" means "still the default" — otherwise the
+    # documented env-var launch (JAX_NUM_PROCESSES/JAX_PROCESS_ID without
+    # -world_size/-rank flags) would silently skip initialization and every
+    # host would train independently
     num_processes = p.get("world_size")
-    if num_processes is None:
+    if not num_processes or int(num_processes) <= 1:
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     process_id = p.get("rank")
-    if process_id is None:
-        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    if not process_id and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    process_id = int(process_id or 0)
     if not addr or int(num_processes) <= 1:
         return False
     if jax.distributed.is_initialized():

@@ -157,6 +157,9 @@ def _flatten_valid_rows(batch: Dict[str, Any]) -> Tuple[Dict[str, np.ndarray], n
     num_ans = np.asarray(batch["num_ans"]).reshape(-1)
     B = num_ans.shape[0]
     pad = np.asarray(batch["tokens"]).shape[1]
+    # defensive: a num_ans above the candidate pad would index into the
+    # NEXT question's rows (builder clamps too; belt and braces)
+    num_ans = np.minimum(num_ans, pad)
     take = [np.arange(n) + q * pad for q, n in enumerate(num_ans)]
     flat_idx = np.concatenate(take)
     rows = {}
@@ -242,18 +245,31 @@ def _chunk_rows(rows: Dict[str, np.ndarray], chunk: int):
 def segmented_argmax(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """argmax within each [offsets[q], offsets[q+1]) segment, relative to the
     segment start; ties break to the first maximum like np.argmax. Empty
-    segments return 0 (np.*.reduceat would otherwise read the NEXT
-    segment's rows for them)."""
+    segments return 0.
+
+    reduceat runs over the NON-EMPTY segments' start indices only: their
+    starts are strictly increasing and tile the row range exactly, so no
+    clamping is needed. (Clamping an empty TRAILING segment's start into
+    range, as a previous version did, silently shrank the last non-empty
+    segment's reduction window and returned a wrong argmax for it.)"""
     starts = np.asarray(offsets[:-1], np.int64)
+    lens = np.diff(offsets).astype(np.int64)
+    nseg = len(starts)
+    out = np.zeros(nseg, np.int64)
+    nonempty = lens > 0
     n = len(values)
-    seg_of_row = np.repeat(np.arange(len(starts)),
-                           np.diff(offsets).astype(np.int64))
-    safe_starts = np.minimum(starts, max(n - 1, 0))
-    seg_max = np.maximum.reduceat(values, safe_starts) if n else starts * 0.0
-    row_ids = np.where(values == seg_max[seg_of_row], np.arange(n), n)
-    out = (np.minimum.reduceat(row_ids, safe_starts) - starts) if n \
-        else starts * 0
-    return np.where(np.diff(offsets) > 0, out, 0)
+    if n == 0 or not nonempty.any():
+        return out
+    ne_starts = starts[nonempty]
+    seg_max = np.maximum.reduceat(values, ne_starts)
+    # map each row to its (non-empty) segment's max, find the first match
+    seg_of_row = np.repeat(np.arange(nseg), lens)
+    ne_index_of_seg = np.cumsum(nonempty) - 1
+    row_max = seg_max[ne_index_of_seg[seg_of_row]]
+    row_ids = np.where(values == row_max, np.arange(n), n)
+    first = np.minimum.reduceat(row_ids, ne_starts)
+    out[nonempty] = first - ne_starts
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -435,6 +451,10 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         qchunk = ((qchunk + n_local - 1) // n_local) * n_local
         model_params = _replicate(model_params, mesh)
         row_sharding = batch_sharding(mesh)
+    else:
+        # checkpoint-restored params arrive as numpy; jit re-transfers
+        # numpy args on EVERY dispatch — pin them on device once
+        model_params = jax.device_put(model_params)
     allreduce = allreduce or (lambda x: x)
     binary = params.get("binary_answers", False)
     fast = bool(params.get("fast_scorer")) and not binary

@@ -72,7 +72,12 @@ def train_fast_scorer(params: Dict[str, Any], dataset, model: CRCTModel,
                       "from backbone word embeddings")
     except (KeyError, TypeError):
         pass
-    frozen = {k: v for k, v in model_params.items() if k != "fast_scorer"}
+    # the frozen backbone arrives as numpy (checkpoint transfer); jit
+    # re-transfers numpy args host->device EVERY call, so without this
+    # device_put the whole backbone would ride the (latency-bound) link
+    # once per training step
+    frozen = jax.device_put(
+        {k: v for k, v in model_params.items() if k != "fast_scorer"})
     opt_state = jax.jit(tx.init)(head)
     step_fn = make_head_train_step(model, tx)
 

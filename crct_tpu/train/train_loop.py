@@ -260,8 +260,12 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
 
         log_line(params_dict, "Epoch Time: "
                  + strftime("%H:%M", gmtime(time.time() - epoch_time)))
-        path = trainer.save(epoch_id)
-        log_line(params_dict, f"     --> Saved model as: {path}")
+        # rank-0 save (reference train.py:287): with a shared filesystem,
+        # concurrent force=True orbax saves to the SAME path from every
+        # host corrupt the checkpoint
+        if jax.process_index() == 0:
+            path = trainer.save(epoch_id)
+            log_line(params_dict, f"     --> Saved model as: {path}")
 
         if not params_dict.get("no_eval") and eval_fn is not None:
             log_line(params_dict, "Starting evaluation (on sampled val set)...")

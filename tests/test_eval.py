@@ -201,3 +201,44 @@ def test_resolve_eval_chunk_auto_scales_and_respects_explicit():
     explicit = {"eval_batch_size": 10}
     assert resolve_eval_chunk(explicit) == 10
     assert resolve_eval_question_batch(explicit) == 10
+
+
+def test_segmented_argmax_trailing_empty_segment():
+    """A trailing EMPTY segment must not shrink the previous segment's
+    reduction window (the old clamp returned argmax 1 instead of 2 here)."""
+    from crct_tpu.train.eval_loop import segmented_argmax
+    vals = np.asarray([1.0, 2.0, 5.0])
+    out = segmented_argmax(vals, np.asarray([0, 3, 3]))
+    assert out.tolist() == [2, 0]
+    # empty segment in the middle + ties break to the first max
+    out = segmented_argmax(np.asarray([3.0, 3.0, 7.0, 7.0]),
+                           np.asarray([0, 2, 2, 4]))
+    assert out.tolist() == [0, 0, 0]
+    # all empty
+    assert segmented_argmax(np.zeros(0), np.asarray([0, 0, 0])).tolist() \
+        == [0, 0]
+
+
+def test_flatten_valid_rows_clamps_overflowing_num_ans():
+    """num_ans above the candidate pad (a chart with >120 candidate texts)
+    must clamp instead of indexing into the NEXT question's rows."""
+    from crct_tpu.train.eval_loop import _flatten_valid_rows
+    B, P, L = 2, 4, 6
+    batch = {
+        "tokens": np.arange(B * P * L).reshape(B, P, L),
+        "segments": np.zeros((B, P, L), np.int64),
+        "loc": np.zeros((B, P, L, 4), np.float32),
+        "sep_indices": np.zeros((B, P, 50), np.int64),
+        "hist_len": np.zeros((B, P, 1), np.int64),
+        "image_feat": np.zeros((B, P, 3, 8), np.float32),
+        "image_loc": np.zeros((B, P, 3, 4), np.float32),
+        "image_mask": np.ones((B, P, 3), np.float32),
+        "image_target": np.zeros((B, P, 3), np.int64),
+        "R": np.zeros((B, P, 4), np.float32),
+        "num_ans": np.asarray([[9], [2]]),   # 9 > P=4 pad
+    }
+    rows, offsets = _flatten_valid_rows(batch)
+    assert offsets.tolist() == [0, 4, 6]     # clamped to the pad
+    # question 0 contributes ONLY its own padded rows
+    np.testing.assert_array_equal(rows["tokens"][:4],
+                                  np.asarray(batch["tokens"])[0, :4])

@@ -205,3 +205,33 @@ def test_process_workers_match_thread_loader(tmp_path):
                                           np.asarray(pb[k], dtype=object)
                                           if isinstance(pb[k], list)
                                           else np.asarray(pb[k]))
+
+
+def test_negatives_resample_across_epochs(tmp_path):
+    """The per-example RNG must mix the epoch in: the reference draws FRESH
+    random negatives (and token/region masks) every epoch via unseeded
+    np.random (fig_dataloader.py:261) — epoch-invariant draws would train
+    on the same negative pairing for all 20 epochs."""
+    from crct_tpu.data.dataset import ChartQADataset, DataLoader
+    from tests.helpers import synthetic_params
+    params = synthetic_params(tmp_path, n_images=8, division=4,
+                              n_questions=6, feat_dim=16)
+    ds = ChartQADataset(params, ["train"])
+    ds.split = "train"
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1,
+                        drop_last=False)
+    neg_idx = [i for i in range(ds.orig_len(), len(ds))][:12]
+
+    def tokens_at_epoch(epoch):
+        loader.set_epoch(epoch)
+        return [np.asarray(ds[i]["tokens"]).copy() for i in neg_idx]
+
+    e0a = tokens_at_epoch(0)
+    e0b = tokens_at_epoch(0)
+    e1 = tokens_at_epoch(1)
+    # deterministic within an epoch
+    for a, b in zip(e0a, e0b):
+        np.testing.assert_array_equal(a, b)
+    # and resampled across epochs (some negative draw must differ)
+    assert any(not np.array_equal(a, b) for a, b in zip(e0a, e1)), \
+        "negative sampling identical across epochs"
