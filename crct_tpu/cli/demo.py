@@ -19,7 +19,7 @@ from crct_tpu.data.dataset import ChartQADataset, collate
 from crct_tpu.data.example_builder import REG_TOKEN
 from crct_tpu.models.crct import build_model
 from crct_tpu.train.eval_loop import (_chunk_rows, _flatten_valid_rows,
-                                      make_eval_step)
+                                      make_eval_step, resolve_eval_chunk)
 from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
 
 
@@ -31,7 +31,7 @@ class PlotQAModel:
         self.dataset = dataset
         self.model = build_model(params)
         self.eval_step = make_eval_step(self.model)
-        self.chunk = max(1, params.get("eval_batch_size") or 100)
+        self.chunk = resolve_eval_chunk(params)
         self.model_params = None
 
     def _ensure_params(self, rows):
@@ -58,19 +58,23 @@ class PlotQAModel:
         rows, offsets = _flatten_valid_rows(batch)
         self._ensure_params(rows)
 
-        nsp_list, reg_out_list, reg5_list, regl1_list = [], [], [], []
+        nsp_list, reg_out_list, reg5_list = [], [], []
         for piece, valid in _chunk_rows(rows, self.chunk):
-            nsp, reg_out, reg5, regl1 = self.eval_step(self.model_params, piece)
+            nsp, reg_out, reg5, _ = self.eval_step(self.model_params, piece)
             nsp_list.append(np.asarray(nsp)[:valid])
             reg_out_list.append(np.asarray(reg_out)[:valid])
             reg5_list.append(np.asarray(reg5)[:valid])
-            regl1_list.append(np.asarray(regl1)[:valid])
         nsp_probs = np.concatenate(nsp_list)
         reg_out = np.concatenate(reg_out_list)
         reg5 = np.concatenate(reg5_list)
 
         n = int(batch["num_ans"][0, 0])
         ans_id = int(np.argmax(nsp_probs[:n]))
+        # Reference-parity quirk: the displayed certainties are a SECOND
+        # softmax over values that are already per-candidate NSP
+        # probabilities (Interactive_demo.py:208 applies F.softmax to
+        # nsp_probs[:, 0]), squashing them toward uniform. Ranking is
+        # unaffected; kept so demo output matches the reference bot.
         certainty = np.exp(nsp_probs[:n] - nsp_probs[:n].max())
         certainty = certainty / certainty.sum()
 

@@ -36,15 +36,27 @@ def main(argv=None):
                    choices=['figure_qa', 'plotqa', 'dvqa'])
     p.add_argument('--num-classes', type=int, default=228)
     p.add_argument('--image-size', type=int, default=1344)
+    p.add_argument('--short-edge', type=int, default=800,
+                   help="test-time ResizeShortestEdge target (Detectron2 "
+                        "INPUT.MIN_SIZE_TEST; the reference resizes via "
+                        "predictor.aug, extract_features.py:38-44). The "
+                        "long edge is capped at --image-size. 0 disables "
+                        "resizing (images larger than the canvas are then "
+                        "downscaled to fit rather than cropped).")
     p.add_argument('--infer-batch', type=int, default=8,
                    help="images per device dispatch (vmapped detector)")
     args = p.parse_args(argv)
+    if args.dataset == 'dvqa' and args.ocr_gt:
+        p.error("dvqa does not support --ocr-gt: DVQA GT annotations have "
+                "no class labels (the reference crashes on this path too, "
+                "extract_features.py:503-510). Use oracle mode or --OCR.")
 
     import jax
     import jax.numpy as jnp
     from crct_tpu.detector.extract import (build_feature_record, chunk_gen,
                                            get_gt_texts, get_nonvis_ids,
                                            inject_img_token, path_to_img_id,
+                                           resize_shortest_edge,
                                            sorted_image_files)
     from crct_tpu.detector.mask_rcnn import MaskRCNN
 
@@ -109,26 +121,42 @@ def main(argv=None):
     for k, (c_id, chunk_files) in enumerate(
             chunk_gen(files, args.batch_size, args.chunk)):
         records = []
-        raws, sizes = [], []
+        raws, sizes, resized_hw = [], [], []
         for img_path in chunk_files:
-            raw = np.asarray(Image.open(img_path).convert("RGB"), np.float32)
-            sizes.append(raw.shape[:2])
-            norm = (raw - pixel_mean) / pixel_std
+            im = Image.open(img_path).convert("RGB")
+            w0, h0 = im.size
+            sizes.append((h0, w0))
+            # test-time ResizeShortestEdge: detection runs at the same
+            # scale distribution the detector trained at (CocoDataset
+            # resizes to short-edge 800); boxes are scaled back to the
+            # original image afterwards, like Detectron2's _postprocess
+            # (reference get_input/get_features, extract_features.py:38-70)
+            nh, nw = resize_shortest_edge(h0, w0, args.short_edge,
+                                          args.image_size)
+            resized_hw.append((nh, nw))
+            if (nh, nw) != (h0, w0):
+                arr = np.asarray(im.resize((nw, nh), Image.BILINEAR),
+                                 np.float32)
+            else:
+                arr = np.asarray(im, np.float32)
+            raw = np.asarray(im, np.float32)      # original scale (for OCR)
+            norm = (arr - pixel_mean) / pixel_std
             padded = np.zeros((args.image_size, args.image_size, 3),
                               np.float32)
-            padded[:raw.shape[0], :raw.shape[1]] = \
-                norm[:args.image_size, :args.image_size]
+            padded[:nh, :nw] = norm
             raws.append((padded, raw))
         from crct_tpu.detector.extract import batched_detect
-        whs = [np.asarray([min(h, args.image_size), min(w, args.image_size)],
-                          np.float32) for h, w in sizes]
+        whs = [np.asarray([nh, nw], np.float32) for nh, nw in resized_hw]
         det_out = batched_detect(detect_batch, params,
                                  [p for p, _ in raws], IB, whs)
-        for (img_path, (h, w), (out, img_feat), (_, raw)) in zip(
-                chunk_files, sizes, det_out, raws):
+        for (img_path, (h, w), (nh, nw), (out, img_feat), (_, raw)) in zip(
+                chunk_files, sizes, resized_hw, det_out, raws):
             valid = np.asarray(out["valid"])
             feats = np.asarray(out["features"])[valid]
             boxes = np.asarray(out["boxes"])[valid]
+            # detector coords -> original image coords
+            boxes = boxes * np.asarray([w / nw, h / nh, w / nw, h / nh],
+                                       np.float32)
             classes = np.asarray(out["classes"])[valid]
             feats, classes, boxes = inject_img_token(
                 feats, classes, boxes, np.asarray(img_feat), (h, w))

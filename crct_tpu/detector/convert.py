@@ -42,8 +42,13 @@ def _conv(node: Dict, name: str, w=None, b=None) -> None:
 def _deconv(node: Dict, name: str, w=None, b=None) -> None:
     d = node.setdefault(name, {})
     if w is not None:
-        # torch ConvTranspose2d weight: (in, out, kH, kW) -> (kH, kW, in, out)
-        d["kernel"] = np.transpose(np.asarray(w), (2, 3, 0, 1))
+        # torch ConvTranspose2d weight: (in, out, kH, kW) -> (kH, kW, in, out),
+        # PLUS a spatial flip: torch's ConvTranspose scatters the kernel as-is
+        # while flax's ConvTranspose(transpose_kernel=False) runs a fractionally
+        # strided *convolution*, which mirrors the taps. Without [::-1, ::-1]
+        # every stride-2 output 2x2 block comes out point-mirrored
+        # (verified by impulse response; pinned in test_detector_convert).
+        d["kernel"] = np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1]
     if b is not None:
         d["bias"] = np.asarray(b)
 

@@ -302,6 +302,20 @@ def get_gt_texts(annotation: Dict[str, Any], cls_dict: Dict[str, Any],
 # detection -> record
 # ---------------------------------------------------------------------------
 
+def resize_shortest_edge(h: int, w: int, short_edge: int,
+                         max_size: int) -> Tuple[int, int]:
+    """Detectron2 ResizeShortestEdge target shape: scale so the short edge
+    hits ``short_edge``, capped so the long edge fits ``max_size``
+    (INPUT.MIN_SIZE_TEST/MAX_SIZE_TEST; the reference resizes every image
+    through predictor.aug before detection, extract_features.py:38-44).
+    ``short_edge=0`` only downscales oversized images to fit the canvas."""
+    scale = (short_edge / min(h, w)) if short_edge else 1.0
+    if scale * max(h, w) > max_size:
+        scale = max_size / max(h, w)
+    return (max(1, min(max_size, int(h * scale + 0.5))),
+            max(1, min(max_size, int(w * scale + 0.5))))
+
+
 def batched_detect(detect_batch, params, padded_images, infer_batch: int,
                    *extra_arrays):
     """Dispatch padded [H,W,3] images through a jitted vmapped detector in
@@ -343,8 +357,20 @@ def build_feature_record(image_id: int, feats: np.ndarray,
 
     Inputs include the injected <IMG> token at row 0 (class 1000). ocr_mode:
     'gt' (pure oracle), 'oracle' (Hungarian-matched GT text on predicted
-    boxes), 'ocr' (real OCR over predicted boxes).
+    boxes), 'ocr' (real OCR over predicted boxes). ``img_shape`` is the
+    ORIGINAL image (h, w); the record stores width=w / height=h. (The
+    reference writes the *resized* tensor's (H, W) swapped into these
+    fields, extract_features.py:573-574 — no consumer ever reads them, so
+    we standardize on the repo-wide convention instead.)
     """
+    if dataset == 'dvqa' and ocr_mode == 'gt':
+        # DVQA GT annotations carry no class labels (get_gt_texts returns
+        # bboxes/text only), and dvqa_axes needs classes to find the ticks.
+        # The reference crashes here too (KeyError -> assert False,
+        # extract_features.py:503-510); fail with a real message instead.
+        raise ValueError(
+            "dvqa does not support --ocr-gt: DVQA GT annotations have no "
+            "class labels. Use oracle mode (Hungarian-matched) or --OCR.")
     txt_cls_ids, cls_dict = get_nonvis_ids(dataset)
     n = len(boxes)
     ax_x, ax_y = cls_dict['x_axis'], cls_dict['y_axis']
@@ -430,8 +456,8 @@ def build_feature_record(image_id: int, feats: np.ndarray,
             "vis_bbox": boxes_v,
             "class": np.asarray(classes_v),
             "text_feat": text_feat,
-            "width": img_shape[0],
-            "height": img_shape[1]}
+            "width": img_shape[1],
+            "height": img_shape[0]}
 
 
 def inject_img_token(feats: np.ndarray, classes: np.ndarray,

@@ -18,7 +18,7 @@ import torch.nn as tnn  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from crct_tpu.detector.convert import (_fc1_kernel_from_torch,
+from crct_tpu.detector.convert import (_deconv, _fc1_kernel_from_torch,
                                        convert_detector_state_dict,
                                        restore_detector_params)
 from crct_tpu.detector.resnet import ResNet
@@ -231,6 +231,31 @@ def test_full_detectron2_maskrcnn_transfer():
     # class-count-dependent heads skipped (shapes differ: 81 vs 17, 80 vs 16)
     assert np.all(flat["['box_predictor']['cls_score']['kernel']"] == 0)
     assert np.all(flat["['mask_head']['predictor']['kernel']"] == 0)
+
+
+def test_deconv_kernel_numeric_parity():
+    """The mask-head ConvTranspose import must flip the kernel spatially:
+    torch's ConvTranspose2d scatters the kernel as-is while flax's
+    ConvTranspose(transpose_kernel=False) convolves, mirroring the taps.
+    Pins the converted kernel's output against torch on random input."""
+    import flax.linen as nn
+
+    torch.manual_seed(3)
+    tdeconv = tnn.ConvTranspose2d(4, 5, 2, stride=2).eval()
+    x = torch.randn(2, 4, 7, 7)
+    with torch.no_grad():
+        want = tdeconv(x).numpy().transpose(0, 2, 3, 1)   # NCHW -> NHWC
+
+    node = {}
+    _deconv(node, "deconv", tdeconv.weight.detach().numpy(),
+            tdeconv.bias.detach().numpy())
+    fdeconv = nn.ConvTranspose(5, (2, 2), (2, 2))
+    got = fdeconv.apply(
+        {"params": {"kernel": jnp.asarray(node["deconv"]["kernel"]),
+                    "bias": jnp.asarray(node["deconv"]["bias"])}},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    assert got.shape == want.shape == (2, 14, 14, 5)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
 
 
 def test_restore_detector_params_from_pth(tmp_path):

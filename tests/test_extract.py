@@ -9,7 +9,8 @@ from crct_tpu.config import default_params
 from crct_tpu.detector.extract import (build_feature_record, chunk_gen,
                                        dvqa_axes, get_axes_info,
                                        get_nonvis_ids, inject_img_token,
-                                       normalize_bbox, validate_both_axes)
+                                       normalize_bbox, resize_shortest_edge,
+                                       validate_both_axes)
 from crct_tpu.detector.ocr import match_bboxes, ocr_oracle
 from crct_tpu.detector.pie import get_pie_areas
 
@@ -166,6 +167,38 @@ def test_pie_areas_sum_to_2pi():
     assert sum(vals) == pytest.approx(2 * np.pi, rel=1e-3)
 
 
+def test_resize_shortest_edge_semantics():
+    """Detectron2 ResizeShortestEdge parity: short edge -> target unless the
+    long edge would exceed max_size, then cap to fit; 0 disables upscaling
+    but still fits oversized images into the canvas (no cropping)."""
+    # plain short-edge hit: 480x640 -> 800x1067
+    assert resize_shortest_edge(480, 640, 800, 1344) == (800, 1067)
+    # long-edge cap: 480x1280 @ short 800 wants 800x2133 -> capped to 1344
+    h, w = resize_shortest_edge(480, 1280, 800, 1344)
+    assert w == 1344 and h == int(480 * (1344 / 1280) + 0.5)
+    # disabled (short_edge=0): identity when it fits...
+    assert resize_shortest_edge(240, 320, 0, 1344) == (240, 320)
+    # ...but oversized images downscale to fit instead of being cropped
+    assert resize_shortest_edge(2000, 1500, 0, 1344) == (1344, 1008)
+    # aspect preserved within rounding
+    h, w = resize_shortest_edge(240, 320, 800, 1344)
+    assert abs(w / h - 320 / 240) < 0.01
+
+
+def test_dvqa_gt_mode_rejected():
+    """DVQA GT annotations carry no class labels; the pure-GT path must
+    fail with a clear message (the reference crashes via assert False,
+    extract_features.py:503-510)."""
+    with pytest.raises(ValueError, match="ocr-gt"):
+        build_feature_record(1, np.zeros((2, 4), np.float32),
+                             np.array([1000, 3]),
+                             np.array([[0, 0, 4, 4], [1, 1, 2, 2]],
+                                      np.float32),
+                             (100, 200), dataset="dvqa", ocr_mode="gt",
+                             gt_texts={'bboxes': np.zeros((1, 4)),
+                                       'text': np.array(["5"])})
+
+
 def test_chunk_gen_range_resume():
     lst = list(range(100))
     chunks = list(chunk_gen(lst, 10))
@@ -208,6 +241,9 @@ def test_extract_cli_batched_inference(tmp_path):
         assert r["class"][0] == 1000          # <IMG> token at row 0
         assert r["vis_feat"].shape[1] == 1024
         assert set(r) >= {"image_id", "vis_bbox", "height", "width"}
+        # original-image extent, width=W convention (synthetic charts are
+        # 320x240 WxH; detection ran resized into the 64px canvas)
+        assert (r["width"], r["height"]) == (320, 240)
 
 
 def test_apply_ocr_with_stubbed_pytesseract(monkeypatch):
