@@ -506,7 +506,7 @@ def bench_detector_train(n_chips: int, *, img_hw=(512, 512),
     return out
 
 
-def bench_roofline(model, variables, tx, db, n_chips: int,
+def bench_roofline(model, variables, db, n_chips: int,
                    step_ms_headline: float) -> dict:
     """Decompose the train step's time: forward-only, forward+backward and
     a dropout-off backward; the optimizer's share is the headline step
@@ -658,7 +658,7 @@ def main(pallas: bool = False, include_e2e: bool = False,
         del opt_state, metrics
         try:
             aux.update(bench_roofline(
-                model, {"params": params}, tx, db, n_chips,
+                model, {"params": params}, db, n_chips,
                 step_ms_headline=B / qa_pairs_per_sec_per_chip / n_chips
                 * 1000))
         except Exception as e:

@@ -170,7 +170,11 @@ def _flatten_valid_rows(batch: Dict[str, Any]) -> Tuple[Dict[str, np.ndarray], n
         rows[k] = v.reshape((B * pad,) + v.shape[2:])[flat_idx]
     # hist_len arrives [B,120,1] after padding; the model wants [N] or [N,1]
     if rows["hist_len"].ndim > 1:
-        rows["hist_len"] = rows["hist_len"].reshape(len(flat_idx), -1)[:, :1]
+        hl = rows["hist_len"]
+        # reshape(0, -1) is ambiguous for numpy when every question in the
+        # batch has zero valid candidates — pin the trailing dim explicitly
+        rows["hist_len"] = (hl.reshape(len(flat_idx), -1)[:, :1]
+                            if len(flat_idx) else hl.reshape(0, 1))
     offsets = np.concatenate([[0], np.cumsum(num_ans)])
     return rows, offsets
 
@@ -364,6 +368,7 @@ class EvaluationLog:
         # shared between ranks (reference per-rank CSVs, evaluation.py:69-126)
         if rank is None:
             rank = jax.process_index()
+        self.rank = rank
         self.fp = f"{base}_{rank}.csv"
         self.snapshot_paths = {k: f"{base}_{k}_{rank}.npy"
                                for k in ("breakdown", "total_correct", "histogram")}
@@ -388,9 +393,12 @@ class EvaluationLog:
     def load_tensors(self):
         def _load(key):
             path = self.snapshot_paths[key]
-            if not os.path.exists(path):
+            if not os.path.exists(path) and self.rank == 0:
                 # pre-rank-suffix snapshot naming ("{base}_{key}.npy"):
-                # fall back so resumes of older eval runs keep their totals
+                # fall back so resumes of older eval runs keep their totals.
+                # Rank 0 ONLY — if every rank adopted the shared legacy
+                # totals, the end-of-run global_sum would count them
+                # process_count times (other ranks start from zeros)
                 legacy = path.rsplit("_", 1)[0] + ".npy"
                 if os.path.exists(legacy):
                     return np.load(legacy)
@@ -455,7 +463,9 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         # checkpoint-restored params arrive as numpy; jit re-transfers
         # numpy args on EVERY dispatch — pin them on device once
         model_params = jax.device_put(model_params)
-    allreduce = allreduce or (lambda x: x)
+    # cross-process reduction for the final accumulators; overridable for
+    # custom-sharded callers, defaults to the process allgather-sum
+    allreduce = allreduce or global_sum
     binary = params.get("binary_answers", False)
     fast = bool(params.get("fast_scorer")) and not binary
     # -fast_scorer_topk K: the fast head only SHORTLISTS K candidates and
@@ -562,6 +572,17 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_regl1 = np.zeros(len(ids))
             ans_reg_out = np.zeros(len(ids))
             answers_idx = answers
+        elif not np.any(np.asarray(batch["num_ans"]).reshape(-1) > 0):
+            # every question in this loader batch has zero valid candidates
+            # (possible on a tail batch of poisoned questions): nothing to
+            # dispatch — emit the same poisoned outputs the `nonempty`
+            # masking below would produce
+            answers_idx = (gt_id.astype(np.int64) if regs_mode
+                           else np.zeros(len(ids), np.int64))
+            nsp_right = np.zeros(len(ids), bool)
+            ans_reg5 = np.full(len(ids), np.inf)
+            ans_regl1 = np.full(len(ids), np.inf)
+            ans_reg_out = np.full(len(ids), np.nan)
         else:
             rows, offsets = _flatten_valid_rows(batch)
             nsp_probs, reg_out, reg5, regl1 = run_chunks(rows)
@@ -636,9 +657,9 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
                   f"for {inf_time[1]} questions.")
     # multi-host: sum accumulators across processes (the reference's
     # per-rank all_reduce, evaluation.py:487-523, done once at the end here)
-    total_correct = global_sum(total_correct)
-    breakdown = global_sum(breakdown)
-    histogram = global_sum(histogram)
+    total_correct = allreduce(total_correct)
+    breakdown = allreduce(breakdown)
+    histogram = allreduce(histogram)
     return total_correct, breakdown, histogram
 
 

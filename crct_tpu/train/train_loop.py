@@ -184,7 +184,11 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
             f"global batch size is {global_batch} with drop_last — lower "
             f"-batch_size or add data")
 
-    sample_batch = next(iter(DataLoader(dataset, global_batch, shuffle=False,
+    # param shapes are batch-size independent: init on a 2-row sample
+    # instead of the global batch (a global-batch init would run a
+    # batch-80-x-n-devices forward on ONE device just to derive shapes —
+    # an HBM-OOM risk at flagship scale, and a slow host-side build)
+    sample_batch = next(iter(DataLoader(dataset, 2, shuffle=False,
                                         num_workers=1)))
     trainer = Trainer(params_dict, None, sample_batch, iters_per_epoch)
     log_line(params_dict, f"len(dataloader)={len(loader)}")
@@ -278,7 +282,8 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
 
 
 def _maybe_tensorboard(params_dict: Dict[str, Any]):
-    if params_dict.get("rank", 0) != 0 or not params_dict.get("tensorboard"):
+    from crct_tpu.utils.logging import is_rank0
+    if not is_rank0(params_dict) or not params_dict.get("tensorboard"):
         return None
     try:
         from torch.utils.tensorboard import SummaryWriter

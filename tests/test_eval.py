@@ -242,3 +242,53 @@ def test_flatten_valid_rows_clamps_overflowing_num_ans():
     # question 0 contributes ONLY its own padded rows
     np.testing.assert_array_equal(rows["tokens"][:4],
                                   np.asarray(batch["tokens"])[0, :4])
+
+
+def test_evaluate_all_empty_candidate_batch(eval_env):
+    """A loader batch in which EVERY question has zero valid candidates
+    (possible on a tail batch of poisoned questions) must not crash the
+    eval loop — the questions score as incorrect with poisoned regression
+    outputs, exactly like the per-question `nonempty` masking."""
+    params, ds, model, mp, loader = eval_env
+    batch = {k: (np.array(v, dtype=object) if isinstance(v, list)
+                 else np.copy(v)) for k, v in next(iter(loader)).items()}
+    batch["num_ans"] = np.zeros_like(np.asarray(batch["num_ans"]))
+    rows, offsets = _flatten_valid_rows(batch)   # the old reshape crash
+    assert offsets[-1] == 0
+    total, breakdown, hist = evaluate([batch], ds, params, model, mp,
+                                      csv=False, progress=False)
+    n = len(np.asarray(batch["id"]).reshape(-1))
+    assert total[0, 1] == n        # every question counted...
+    assert total[0, 0] == 0        # ...none correct
+    assert hist.sum() == 0
+
+
+def test_legacy_snapshot_fallback_rank0_only(tmp_path):
+    """Resuming a pre-rank-suffix eval run: rank 0 adopts the shared legacy
+    snapshot totals; other ranks must NOT (global_sum would count the
+    legacy totals once per process) — they raise and restart from zeros."""
+    params = {"save_path": str(tmp_path), "eval_set": "val",
+              "start_checkpoint": "ck"}
+    base = f"{tmp_path}/eval_results_val_ck"
+    legacy_val = {"breakdown": np.full((5, 4, 3, 3), 2.0),
+                  "total_correct": np.full((6, 2), 3.0),
+                  "histogram": np.arange(13)}
+    for key, arr in legacy_val.items():
+        np.save(f"{base}_{key}.npy", arr)
+
+    log0 = EvaluationLog(params, cont_eval=True, rank=0)
+    b, t, h = log0.load_tensors()
+    assert t[0, 0] == 3.0 and h.tolist() == list(range(13))
+
+    log1 = EvaluationLog(params, cont_eval=True, rank=1)
+    with pytest.raises(FileNotFoundError):
+        log1.load_tensors()
+
+
+def test_is_rank0_gating():
+    """Explicit nonzero -rank loses logging ownership; the argparse default
+    (rank 0 everywhere) defers to jax.process_index()."""
+    from crct_tpu.utils.logging import is_rank0
+    assert is_rank0({}) is True                 # single-process: index 0
+    assert is_rank0({"rank": 0}) is True
+    assert is_rank0({"rank": 3}) is False
