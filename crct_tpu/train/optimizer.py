@@ -116,9 +116,16 @@ def make_optimizer(params_dict: Dict[str, Any], model_params,
             + ("_decay" if _needs_decay(path) else "_nodecay"),
             tree)
 
+    # -opt_bf16_m: first moments in bf16 (the update is memory-bound at
+    # the HBM roofline — docs/BENCHMARKS.md; mu tolerates low precision,
+    # nu does not: nu underflow near bf16's ~1e-38 floor would blow up
+    # rsqrt, so second moments stay f32)
+    mu_dtype = "bfloat16" if params_dict.get("opt_bf16_m") else None
+
     def group(base_lr: float, decay: float) -> optax.GradientTransformation:
         sched = warmup_linear_min_schedule(base_lr, warmup, t_total, min_lr)
-        chain = [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)]
+        chain = [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8,
+                                     mu_dtype=mu_dtype)]
         if decay > 0:
             chain.append(optax.add_decayed_weights(decay))
         chain.append(optax.scale_by_learning_rate(sched))

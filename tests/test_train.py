@@ -57,6 +57,41 @@ def test_optimizer_partition_labels():
                and "_ln" not in k)
 
 
+def test_opt_bf16_m_moments_dtype_and_numerics():
+    """-opt_bf16_m stores AdamW first moments in bfloat16 (second moments
+    stay f32) and the resulting updates track the f32 optimizer closely."""
+    import jax.numpy as jnp
+    import optax
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8)}
+    grads = {"w": jnp.cos(jnp.arange(64.0)).reshape(8, 8) * 1e-2}
+    pd = dict(lr=2e-5, image_lr=2e-5, min_lr=1.3e-5, warmup=0, wd=0.0)
+
+    def run(bf16):
+        tx = make_optimizer({**pd, "opt_bf16_m": bf16}, params,
+                            iters_per_epoch=100)
+        state = tx.init(params)
+        p = params
+        for _ in range(5):
+            updates, state = tx.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+        return p, state
+
+    p32, _ = run(False)
+    pbf, state = run(True)
+    mus = [l for l in jax.tree_util.tree_leaves(state)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 leaves in the optimizer state"
+    nus_f32 = [l for l in jax.tree_util.tree_leaves(state)
+               if hasattr(l, "dtype") and l.dtype == jnp.float32
+               and l.shape == (8, 8)]
+    assert nus_f32, "second moments must stay f32"
+    # bf16 mu rounds at ~0.4% relative; after 5 floored-lr (1.3e-5) steps
+    # the params must still agree far below the ~6.5e-5 total update
+    np.testing.assert_allclose(np.asarray(pbf["w"]), np.asarray(p32["w"]),
+                               rtol=0, atol=3e-6)
+
+
 def test_optimizer_partition_artifact_matches_tree():
     """The committed language_weights.json artifact must (a) be fully
     contained in the real full-size param tree and (b) agree with the
