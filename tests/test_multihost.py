@@ -111,6 +111,55 @@ print(f"STEP_CHILD_OK_{{rank}}", flush=True)
 """
 
 
+EVAL_CHILD = r"""
+import sys
+rank, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, {repo!r})
+from crct_tpu.parallel.mesh import maybe_initialize_distributed
+ok = maybe_initialize_distributed(
+    {{"dist_url": f"127.0.0.1:{{port}}", "world_size": 2, "rank": rank}})
+assert ok, "initialize was skipped"
+
+import numpy as np, jax.numpy as jnp
+from crct_tpu.data.dataset import ChartQADataset, DataLoader
+from crct_tpu.models.crct import CRCTModel
+from crct_tpu.train.eval_loop import (_chunk_rows, _flatten_valid_rows,
+                                      evaluate)
+from crct_tpu.train.train_loop import device_batch
+from tests.helpers import synthetic_params, tiny_model_config
+
+# identical seeded synthetic data per rank (separate dirs, same content)
+params = synthetic_params(f"{{outdir}}/d{{rank}}", n_images=4, division=4,
+                          n_questions=3, feat_dim=32,
+                          eval_batch_size=16)
+ds = ChartQADataset(params, ["val"], init_split="val")
+ds.get_all_answers = True
+model = CRCTModel(config=tiny_model_config(v_feature_size=32),
+                  categories=params["categories"])
+# deterministic init from the same unsharded sample on both ranks
+sample = next(iter(DataLoader(ds, batch_size=1, shuffle=False,
+                              num_workers=1, drop_last=False)))
+rows, _ = _flatten_valid_rows(sample)
+chunked, _ = next(_chunk_rows(rows, 16))
+mp = model.init({{"params": jax.random.key(0)}}, device_batch(chunked),
+                train=False)["params"]
+# per-process question shard (the cli/evaluate.py loader construction)
+loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                    num_workers=1, num_shards=jax.process_count(),
+                    shard_index=jax.process_index())
+total, breakdown, hist = evaluate(loader, ds, params, model, mp,
+                                  csv=False, progress=False)
+np.save(f"{{outdir}}/total_{{rank}}.npy", total)
+np.save(f"{{outdir}}/breakdown_{{rank}}.npy", breakdown)
+np.save(f"{{outdir}}/hist_{{rank}}.npy", hist)
+print(f"EVAL_CHILD_OK_{{rank}}", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -206,6 +255,70 @@ def test_two_process_real_train_step(tmp_path):
         assert flat_child.shape == flat_base.shape
         np.testing.assert_allclose(flat_child, flat_base, rtol=1e-3,
                                    atol=2e-5)
+
+
+def test_two_process_real_evaluate(tmp_path):
+    """The ACTUAL evaluate() loop across 2 processes — per-process question
+    shards, end-of-run global_sum reduction — must produce the same
+    accumulators as a single-process run over the full dataset (reference
+    DDP eval: evaluation.py:134-153,487-523)."""
+    import jax
+    from crct_tpu.data.dataset import ChartQADataset, DataLoader
+    from crct_tpu.models.crct import CRCTModel
+    from crct_tpu.train.eval_loop import (_chunk_rows, _flatten_valid_rows,
+                                          evaluate)
+    from crct_tpu.train.train_loop import device_batch
+    from tests.helpers import synthetic_params, tiny_model_config
+
+    # single-process baseline over the FULL dataset (same seeds as the child)
+    params = synthetic_params(tmp_path / "base", n_images=4, division=4,
+                              n_questions=3, feat_dim=32, eval_batch_size=16)
+    ds = ChartQADataset(params, ["val"], init_split="val")
+    ds.get_all_answers = True
+    model = CRCTModel(config=tiny_model_config(v_feature_size=32),
+                      categories=params["categories"])
+    sample = next(iter(DataLoader(ds, batch_size=1, shuffle=False,
+                                  num_workers=1, drop_last=False)))
+    rows, _ = _flatten_valid_rows(sample)
+    chunked, _ = next(_chunk_rows(rows, 16))
+    mp = model.init({"params": jax.random.key(0)}, device_batch(chunked),
+                    train=False)["params"]
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    t_base, b_base, h_base = evaluate(loader, ds, params, model, mp,
+                                      csv=False, progress=False)
+
+    script = tmp_path / "eval_child.py"
+    script.write_text(EVAL_CHILD.format(repo=REPO))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(r), str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env, cwd=str(tmp_path)) for r in (0, 1)]
+    outs = []
+    for p_ in procs:
+        try:
+            out, _ = p_.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for r, (p_, out) in enumerate(zip(procs, outs)):
+        assert p_.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"EVAL_CHILD_OK_{r}" in out
+
+    # post-global_sum accumulators are identical on every rank AND equal
+    # the single-process full-dataset run (counts -> exact)
+    for r in (0, 1):
+        np.testing.assert_array_equal(
+            np.load(tmp_path / f"total_{r}.npy"), t_base)
+        np.testing.assert_array_equal(
+            np.load(tmp_path / f"breakdown_{r}.npy"), b_base)
+        np.testing.assert_array_equal(
+            np.load(tmp_path / f"hist_{r}.npy"), h_base)
 
 
 def test_eval_log_per_rank_csvs(tmp_path):
