@@ -171,3 +171,36 @@ def test_bf16_forward(model_and_params):
     kernel = params["params"]["bert"]["embeddings"]["word_embeddings"]["embedding"]
     assert kernel.dtype == jnp.float32
     assert np.isfinite(np.asarray(out.nsp_logits)).all()
+
+
+@pytest.mark.parametrize("cfg_name", ["vilbert", "bert_base_6layer_6conect",
+                                      "bert_base_6layer_6conect_original"])
+def test_shipped_model_configs_build(cfg_name):
+    """Every shipped model-config JSON (the active vilbert.json + the
+    reference's two legacy 6-connection variants) must construct a CRCTModel
+    whose init typechecks end-to-end. eval_shape only — no FLOPs, so the
+    full 12L/768 geometries stay cheap on CPU."""
+    import json
+    import os
+
+    from crct_tpu.config import CRCTModelConfig
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "config", f"{cfg_name}.json")
+    with open(path) as f:
+        cfg = CRCTModelConfig(**json.load(f))
+    assert cfg.hidden_size % cfg.num_attention_heads == 0
+    assert cfg.v_hidden_size % cfg.v_num_attention_heads == 0
+    assert cfg.bi_hidden_size % cfg.bi_num_attention_heads == 0
+    assert len(cfg.v_biattention_id) == len(cfg.t_biattention_id)
+
+    model = CRCTModel(config=cfg, categories=228)
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, B=2, L=24, R=6, vocab=cfg.vocab_size,
+                       vdim=cfg.v_feature_size, cats=228)
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.key(0)}, batch,
+                           train=False))
+    n_params = sum(np.prod(s.shape) for s in
+                   jax.tree.leaves(shapes["params"]))
+    assert n_params > 1e8          # all three are full-size geometries
