@@ -209,3 +209,48 @@ def test_quirk_modes_match(envs, tmp_path, quirk):
         r_valid = {k: _np(v)[:n_ans] if _np(v).ndim > 0 else v
                    for k, v in r.items() if k in COMPARE_KEYS}
         _compare_item(m_valid, r_valid, ctx=f"{quirk} eval idx {i}")
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+def test_multi_seed_differential_fuzz(envs, tmp_path, seed):
+    """Differential fuzz across dataset seeds: fresh synthetic datasets
+    (different fig-type mixes incl. hbar, legend/tick counts, question
+    kinds, y scales) must match the reference item-for-item on both the
+    deterministic train positives and the full eval candidate fan-out."""
+    params, _, _ = envs
+    ref_mod = sys.modules["fig_dataloader"]
+    sparams = synthetic_params(tmp_path / f"s{seed}", n_images=4, division=2,
+                               n_questions=4, feat_dim=64, seed=seed,
+                               eval_batch_size=16)
+    sparams["vocab_file"] = params["vocab_file"]
+    sparams.setdefault("question_templates", "")
+    sparams.setdefault("max_previews", 4)
+    sparams["mask_prob"] = 0.0
+    sparams["mask_prob_img"] = 0.0
+
+    mine = ChartQADataset(
+        sparams, ["train", "val"],
+        tokenizer=WordPieceTokenizer.from_vocab_file(params["vocab_file"]))
+    ref = ref_mod.PlotQA_Dataset(dict(sparams), ["train", "val"])
+
+    mine.split = ref.split = "train"
+    mine.get_all_answers = ref.get_all_answers = False
+    n = mine.orig_len()
+    assert len(ref) == len(mine) == 2 * n
+    for i in range(n):                        # positives are deterministic
+        _compare_item(mine[i], ref[i], ctx=f"seed {seed} train idx {i}")
+
+    mine.split = ref.split = "val"
+    mine.get_all_answers = ref.get_all_answers = True
+    for i in range(len(ref)):
+        m, r = mine[i], ref[i]
+        assert int(_np(m["num_ans"]).reshape(-1)[0]) == \
+            int(_np(r["num_ans"]).reshape(-1)[0]), (seed, i)
+        assert int(_np(m["gt_id"]).reshape(-1)[0]) == \
+            int(_np(r["gt_id"]).reshape(-1)[0]), (seed, i)
+        _compare_item(m, r, ctx=f"seed {seed} eval idx {i}")
+        for k in ("tolerance_margin", "reg_target", "needs_reg"):
+            np.testing.assert_allclose(
+                np.asarray(_np(m[k]), np.float64).reshape(-1),
+                np.asarray(_np(r[k]), np.float64).reshape(-1),
+                atol=1e-5, err_msg=f"seed {seed} eval idx {i} key={k}")
