@@ -35,13 +35,19 @@ def main(argv=None):
     p.add_argument('--dataset', type=str, default='plotqa',
                    choices=['figure_qa', 'plotqa', 'dvqa'])
     p.add_argument('--num-classes', type=int, default=228)
-    p.add_argument('--image-size', type=int, default=1344)
+    p.add_argument('--image-size', type=str, default="1344",
+                   help="compiled canvas: one number (square) or 'H,W'. A "
+                        "rectangular canvas matched to the dataset's "
+                        "orientation (e.g. '832,1344' for landscape charts "
+                        "at short-edge 800) cuts detector compute ~1.6x vs "
+                        "the square default; dims must be multiples of 32 "
+                        "(FPN strides)")
     p.add_argument('--short-edge', type=int, default=800,
                    help="test-time ResizeShortestEdge target (Detectron2 "
                         "INPUT.MIN_SIZE_TEST; the reference resizes via "
-                        "predictor.aug, extract_features.py:38-44). The "
-                        "long edge is capped at --image-size. 0 disables "
-                        "resizing (images larger than the canvas are then "
+                        "predictor.aug, extract_features.py:38-44). Capped "
+                        "so the image fits the --image-size canvas. 0 "
+                        "disables resizing (oversized images are then "
                         "downscaled to fit rather than cropped).")
     p.add_argument('--infer-batch', type=int, default=8,
                    help="images per device dispatch (vmapped detector)")
@@ -50,6 +56,14 @@ def main(argv=None):
         p.error("dvqa does not support --ocr-gt: DVQA GT annotations have "
                 "no class labels (the reference crashes on this path too, "
                 "extract_features.py:503-510). Use oracle mode or --OCR.")
+    try:
+        dims = [int(x) for x in str(args.image_size).split(",")]
+        canvas_h, canvas_w = dims if len(dims) == 2 else dims * 2
+    except ValueError:
+        p.error(f"--image-size must be N or H,W, got {args.image_size!r}")
+    if canvas_h % 32 or canvas_w % 32:
+        p.error(f"--image-size dims must be multiples of 32 (FPN strides), "
+                f"got {canvas_h}x{canvas_w}")
 
     import jax
     import jax.numpy as jnp
@@ -98,7 +112,7 @@ def main(argv=None):
     detect_batch = jax.jit(jax.vmap(detect_one, in_axes=(None, 0, 0)))
 
     # init + restore
-    dummy = jnp.zeros((args.image_size, args.image_size, 3), jnp.float32)
+    dummy = jnp.zeros((canvas_h, canvas_w, 3), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, dummy, train=False))(
         jax.random.key(0))
     params = variables["params"]
@@ -132,7 +146,7 @@ def main(argv=None):
             # original image afterwards, like Detectron2's _postprocess
             # (reference get_input/get_features, extract_features.py:38-70)
             nh, nw = resize_shortest_edge(h0, w0, args.short_edge,
-                                          args.image_size)
+                                          (canvas_h, canvas_w))
             resized_hw.append((nh, nw))
             if (nh, nw) != (h0, w0):
                 arr = np.asarray(im.resize((nw, nh), Image.BILINEAR),
@@ -141,8 +155,7 @@ def main(argv=None):
                 arr = np.asarray(im, np.float32)
             raw = np.asarray(im, np.float32)      # original scale (for OCR)
             norm = (arr - pixel_mean) / pixel_std
-            padded = np.zeros((args.image_size, args.image_size, 3),
-                              np.float32)
+            padded = np.zeros((canvas_h, canvas_w, 3), np.float32)
             padded[:nh, :nw] = norm
             raws.append((padded, raw))
         from crct_tpu.detector.extract import batched_detect

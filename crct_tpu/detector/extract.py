@@ -303,17 +303,18 @@ def get_gt_texts(annotation: Dict[str, Any], cls_dict: Dict[str, Any],
 # ---------------------------------------------------------------------------
 
 def resize_shortest_edge(h: int, w: int, short_edge: int,
-                         max_size: int) -> Tuple[int, int]:
+                         max_size) -> Tuple[int, int]:
     """Detectron2 ResizeShortestEdge target shape: scale so the short edge
-    hits ``short_edge``, capped so the long edge fits ``max_size``
+    hits ``short_edge``, capped so the image fits ``max_size`` — an int
+    (square canvas, the MAX_SIZE_TEST semantics) or an (H, W) canvas
     (INPUT.MIN_SIZE_TEST/MAX_SIZE_TEST; the reference resizes every image
     through predictor.aug before detection, extract_features.py:38-44).
     ``short_edge=0`` only downscales oversized images to fit the canvas."""
+    mh, mw = (max_size, max_size) if isinstance(max_size, int) else max_size
     scale = (short_edge / min(h, w)) if short_edge else 1.0
-    if scale * max(h, w) > max_size:
-        scale = max_size / max(h, w)
-    return (max(1, min(max_size, int(h * scale + 0.5))),
-            max(1, min(max_size, int(w * scale + 0.5))))
+    scale = min(scale, mh / h, mw / w)
+    return (max(1, min(mh, int(h * scale + 0.5))),
+            max(1, min(mw, int(w * scale + 0.5))))
 
 
 def batched_detect(detect_batch, params, padded_images, infer_batch: int,

@@ -183,6 +183,12 @@ def test_resize_shortest_edge_semantics():
     # aspect preserved within rounding
     h, w = resize_shortest_edge(240, 320, 800, 1344)
     assert abs(w / h - 320 / 240) < 0.01
+    # rectangular canvas: both axes cap independently
+    assert resize_shortest_edge(480, 640, 800, (832, 1344)) == (800, 1067)
+    h, w = resize_shortest_edge(640, 640, 800, (832, 1344))
+    assert (h, w) == (800, 800)
+    h, w = resize_shortest_edge(1000, 600, 800, (832, 1344))
+    assert h == 832 and w == int(600 * (832 / 1000) + 0.5)
 
 
 def test_dvqa_gt_mode_rejected():
@@ -208,10 +214,12 @@ def test_chunk_gen_range_resume():
     assert resumed[0][1][0] == 30
 
 
-def test_extract_cli_batched_inference(tmp_path):
+@pytest.mark.parametrize("canvas", ["64", "32,64"])
+def test_extract_cli_batched_inference(tmp_path, canvas):
     """cli.extract_features end-to-end on synthetic PNGs: vmapped
-    --infer-batch detection, --load-weights none, shard writing. The CLI's
-    MaskRCNN constructor is patched to the depth-14 test trunk."""
+    --infer-batch detection, --load-weights none, shard writing, square
+    AND rectangular compiled canvases. The CLI's MaskRCNN constructor is
+    patched to the depth-14 test trunk."""
     import json
     from unittest import mock
 
@@ -234,7 +242,7 @@ def test_extract_cli_batched_inference(tmp_path):
                  "--dir-path", str(tmp_path / "data"), "--split", "test",
                  "--output", str(out_dir), "--batch-size", "3",
                  "--infer-batch", "2", "--ocr-gt", "--dataset", "plotqa",
-                 "--image-size", "64"])
+                 "--image-size", canvas])
     recs = np.load(out_dir / "0.npy", allow_pickle=True)
     assert len(recs) == 3
     for r in recs:
