@@ -224,3 +224,64 @@ def test_variant_items_match_reference(ref_env, tmp_path, dataset):
         for i in range(len(ref)):
             np.testing.assert_allclose(_np(mine[i]["area"]),
                                        _np(ref[i]["area"]), atol=1e-6)
+
+
+def _figqa_color_record(image_id, feat_dim=48):
+    """A FigureQA record with legend + preview boxes whose classes map
+    through CID_TO_COLOR (geometry from tests/test_variants.py, which the
+    reference's get_previews area gate accepts)."""
+    n = 5
+    bbox = np.zeros((n, 4), np.float32)
+    bbox[0] = [0, 1, 1, 0]
+    bbox[1] = [0.80, 0.85, 0.84, 0.80]
+    bbox[2] = [0.80, 0.75, 0.84, 0.70]
+    bbox[3] = [0.1, 0.5, 0.3, 0.0]
+    bbox[4] = [0.4, 0.8, 0.6, 0.0]
+    cls = np.array([1000, 90, 27, 90, 27])
+    tf = {
+        "x_axis": {"label": "", "ticks": [("0", 0.2), ("50", 0.6)],
+                   "x": 0.5, "y": 400.0, "w": 500.0, "h": 4.0},
+        "y_axis": {"label": "", "ticks": [("0", 0.1), ("1", 0.9)],
+                   "x": 60.0, "y": 0.5, "w": 4.0, "h": 400.0},
+        "legend": {"label": np.array(["old_name_a", "old_name_b"]),
+                   "bbox": [[0.86, 0.85, 0.99, 0.80],
+                            [0.86, 0.75, 0.99, 0.70]]},
+    }
+    return {"image_id": image_id,
+            "vis_feat": np.random.default_rng(image_id).random(
+                (n, feat_dim)).astype(np.float32),
+            "vis_bbox": bbox, "class": cls, "text_feat": tf,
+            "width": 640, "height": 480}
+
+
+def test_figureqa_test_split_color_replacement_matches(ref_env, tmp_path):
+    """FigureQA 'test' split: the reference rewrites legend labels / tick
+    texts to detected color names and rebuilds the question from the
+    template (Color_Mapping.feature_replace, fig_dataloader.py:868-901);
+    the encoded items must still match ours byte-for-byte."""
+    tmp, vocab_file, ref_mod = ref_env
+    root = str(tmp_path / "fqtest")
+    records = [_figqa_color_record(i) for i in range(2)]
+    qa = [{"question_id": 0, "color1_name": "old_name_a",
+           "color2_name": "old_name_b", "answer": i % 2,
+           "image_index": i % 2} for i in range(4)]
+    for split in ("train", "test"):
+        feat_dir = os.path.join(root, "fig_features", split)
+        qa_dir = os.path.join(root, "QA", split)
+        os.makedirs(feat_dir, exist_ok=True)
+        os.makedirs(qa_dir, exist_ok=True)
+        np.save(os.path.join(feat_dir, "0.npy"),
+                np.asarray(records, dtype=object), allow_pickle=True)
+        np.save(os.path.join(qa_dir, "qa_pairs.npy"),
+                np.asarray(qa, dtype=object), allow_pickle=True)
+    params = _family_params(root, vocab_file, dataset="figure_qa")
+    params["question_templates"] = {"1": "is $_c1_$ greater than $_c2_$ ?"}
+    params["eval_set"] = "test"
+
+    mine = ChartQADataset(
+        params, ["test"], init_split="test",
+        tokenizer=WordPieceTokenizer.from_vocab_file(vocab_file))
+    ref = ref_mod.PlotQA_Dataset(dict(params), ["test"], init_split="test")
+    mine.split = ref.split = "test"
+    for i in range(len(ref)):
+        _compare_item(mine[i], ref[i], ctx=f"figqa test idx {i}")
