@@ -91,10 +91,32 @@ def make_fig_feat(image_id: int, rng: np.random.Generator,
 
 
 def make_qa_pairs(fig: Dict[str, Any], rng: np.random.Generator,
-                  n_questions: int = 4) -> List[Dict[str, Any]]:
+                  n_questions: int = 4,
+                  task: str = "random") -> List[Dict[str, Any]]:
+    """QA pairs for one figure.
+
+    task="random" (default): the reference-schema smoke mix — answers are
+    random, so the task is NOT learnable (used for shape/parity/throughput
+    tests). task="retrieval": a deterministic, learnable rule — the
+    question names one x-tick label and the answer IS that label, so the
+    answer-ranking head (the NSP score, reference
+    CRCT/backbone/vilbert.py:1042,1060) can learn lexical matching between
+    the candidate answer and the question; used by the end-to-end
+    convergence proof in tests/test_train.py."""
     out = []
     cats, y_vals = fig["_cats"], fig["_yvals"]
     for q in range(n_questions):
+        if task == "retrieval":
+            # the queried tick label is the only candidate string that
+            # appears verbatim in the question (template words are not
+            # chart texts; other ticks/legend entries are absent from it)
+            cat = cats[int(rng.integers(0, len(cats)))]
+            out.append({"question_string": f"which bar is {cat} ?",
+                        "answer": cat,
+                        "qid": str(rng.choice(QIDS_DATA)), "type": "vbar",
+                        "template": "data_retrieval",
+                        "image_index": fig["image_id"]})
+            continue
         kind = rng.integers(0, 4)
         fig_type = str(rng.choice(FIG_TYPES))
         if kind == 0:   # yes/no structural
@@ -127,7 +149,8 @@ def make_qa_pairs(fig: Dict[str, Any], rng: np.random.Generator,
 def generate_dataset(root: str, *, n_images: int = 8, division: int = 4,
                      n_questions: int = 4, feat_dim: int = 1024,
                      splits=("train", "val", "test"), seed: int = 0,
-                     qa_file: str = "qa_pairs.npy") -> Dict[str, Any]:
+                     qa_file: str = "qa_pairs.npy",
+                     task: str = "random") -> Dict[str, Any]:
     """Write a full synthetic dataset tree; returns dataset-config values."""
     rng = np.random.default_rng(seed)
     feat_root = os.path.join(root, "fig_features")
@@ -140,7 +163,7 @@ def generate_dataset(root: str, *, n_images: int = 8, division: int = 4,
         shard_id = 0
         for img_id in range(n_images):
             fig = make_fig_feat(img_id, rng, feat_dim=feat_dim)
-            qa_pairs.extend(make_qa_pairs(fig, rng, n_questions))
+            qa_pairs.extend(make_qa_pairs(fig, rng, n_questions, task=task))
             fig = {k: v for k, v in fig.items() if not k.startswith("_")}
             shard.append(fig)
             if len(shard) == division or img_id == n_images - 1:

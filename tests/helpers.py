@@ -19,11 +19,11 @@ def tiny_model_config(**kw) -> CRCTModelConfig:
 
 
 def synthetic_params(tmp_path, *, n_images=8, division=4, n_questions=4,
-                     feat_dim=32, seed=0, **overrides):
+                     feat_dim=32, seed=0, task="random", **overrides):
     root = os.path.join(str(tmp_path), "data")
     cfg = generate_dataset(root, n_images=n_images, division=division,
                            n_questions=n_questions, feat_dim=feat_dim,
-                           seed=seed)
+                           seed=seed, task=task)
     params = default_params(
         figure_feat_path=cfg["figure_feat_path"],
         qa_parent_dir=cfg["qa_parent_dir"],

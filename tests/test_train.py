@@ -211,3 +211,67 @@ def test_trainer_end_to_end_on_synthetic_data(tmp_path):
     merged, n = transfer_params(jax.device_get(trainer.params),
                                 loaded["model_state_dict"], verbose=False)
     assert n == len(jax.tree.leaves(merged))
+
+
+@pytest.mark.slow
+def test_training_learns_retrieval_task(tmp_path):
+    """End-to-end GENERALIZATION proof: the full stack (shard loading ->
+    example builder -> jitted train step -> two-LR AdamW) learns a
+    deterministic lexical-retrieval rule (the answer is the x-tick label
+    named in the question) and the REAL all-candidate ranking eval
+    (evaluate(), the reference's CRCT/evaluation.py:287-312 protocol)
+    scores it well above chance on a HELD-OUT split with unseen figures.
+    Complements test_training_learns_binary_answers (a memorization
+    proof): this one catches wiring bugs in candidate assembly, label
+    signs and the eval argmax that loss-goes-down tests miss.
+
+    Recipe notes (tuned on this box, 2026-08-17): training runs from
+    SCRATCH (the reference warm-starts from pretrained BERT), where the
+    NSP logits' sensitivity to any single token is ~1e-6 at the 0.02
+    truncated-normal init — 10% dropout drowns that signal entirely (loss
+    pinned at ln2 for 360+ steps), so dropout is off here. More epochs
+    overfit: 1500 steps memorizes the 64 train questions and val drops
+    back to ~8%; 600 steps is the generalization sweet spot."""
+    params = synthetic_params(tmp_path, n_images=16, division=8,
+                              n_questions=4, feat_dim=32, task="retrieval",
+                              batch_size=32, eval_batch_size=64,
+                              max_seq_len=96,
+                              lr=2e-3, image_lr=2e-3, min_lr=5e-4,
+                              warmup=60, num_workers=0)
+    cfg = tiny_model_config(v_feature_size=32,
+                            hidden_dropout_prob=0.0,
+                            attention_probs_dropout_prob=0.0,
+                            v_hidden_dropout_prob=0.0,
+                            v_attention_probs_dropout_prob=0.0)
+    model = CRCTModel(config=cfg, categories=params["categories"])
+    ds = ChartQADataset(params, ["train", "val"])
+    ds.split = "train"
+    loader = DataLoader(ds, batch_size=32, shuffle=True, drop_last=True,
+                        num_workers=0)
+    # materialize 6 epochs (negative candidates resample per epoch,
+    # fig_dataloader.py:261 semantics) and cycle them: amortizes the host
+    # build cost over the 600 steps
+    batches = [b for _ in range(6) for b in loader]
+    trainer = Trainer(params, model, batches[0], iters_per_epoch=30)
+    losses = []
+    for i in range(600):
+        m = np.asarray(trainer.run_step(batches[i % len(batches)]))
+        losses.append(float(m[0]))
+    tail = float(np.mean(losses[-50:]))
+    assert tail < 0.45, f"train loss stuck at {tail:.3f} (ln2 = no signal)"
+
+    from crct_tpu.train.eval_loop import evaluate
+    ds.split = "val"
+    ds.get_all_answers = True
+    val_loader = DataLoader(ds, batch_size=8, shuffle=False,
+                            drop_last=False, num_workers=0)
+    total, _, _ = evaluate(val_loader, ds, params, model, trainer.params,
+                           csv=False, progress=False)
+    nsp_acc = total[0, 0] / total[0, 1]
+    chance = 1.0 / np.mean(np.asarray(
+        [ds[i]["num_ans"] for i in range(len(ds))], np.float64))
+    assert total[0, 1] == len(ds)
+    # measured 0.172 at this recipe vs ~0.04 chance; 0.10 leaves slack
+    # for cross-version numeric drift while staying ~2.5x above chance
+    assert nsp_acc >= 0.10 and nsp_acc > 2 * chance, \
+        f"val ranking accuracy {nsp_acc:.3f} (chance {chance:.3f})"
