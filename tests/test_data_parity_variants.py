@@ -185,12 +185,11 @@ def _family_params(root, vocab_file, *, dataset):
     return params
 
 
-@pytest.mark.parametrize("dataset", ["figure_qa", "dvqa"])
-def test_variant_items_match_reference(ref_env, tmp_path, dataset):
+def _assert_family_parity(ref_env, root, *, dataset, seed, n_images=4,
+                          n_questions=8):
     tmp, vocab_file, ref_mod = ref_env
-    root = str(tmp_path / dataset)
-    _write_family_dataset(root, dataset=dataset, n_images=4,
-                          n_questions=8, seed=3)
+    _write_family_dataset(root, dataset=dataset, n_images=n_images,
+                          n_questions=n_questions, seed=seed)
     params = _family_params(root, vocab_file, dataset=dataset)
 
     mine = ChartQADataset(
@@ -224,6 +223,26 @@ def test_variant_items_match_reference(ref_env, tmp_path, dataset):
         for i in range(len(ref)):
             np.testing.assert_allclose(_np(mine[i]["area"]),
                                        _np(ref[i]["area"]), atol=1e-6)
+
+
+@pytest.mark.parametrize("dataset", ["figure_qa", "dvqa"])
+def test_variant_items_match_reference(ref_env, tmp_path, dataset):
+    _assert_family_parity(ref_env, str(tmp_path / dataset),
+                          dataset=dataset, seed=3)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37])
+@pytest.mark.parametrize("dataset", ["figure_qa", "dvqa"])
+def test_variant_multi_seed_differential_fuzz(ref_env, tmp_path, dataset,
+                                              seed):
+    """Differential fuzz for the FigureQA/DVQA families (the PlotQA
+    analogue lives in test_data_parity): fresh randomized datasets per
+    seed — tick counts/texts/positions, legend sizes, values_are_x
+    orientation, answer kinds — must encode byte-identically through both
+    dataloaders on the train-positive and all-candidate eval paths."""
+    _assert_family_parity(ref_env, str(tmp_path / f"{dataset}{seed}"),
+                          dataset=dataset, seed=seed, n_images=3,
+                          n_questions=6)
 
 
 def _figqa_color_record(image_id, feat_dim=48):
