@@ -268,6 +268,7 @@ def test_training_learns_retrieval_task(tmp_path):
     total, _, _ = evaluate(val_loader, ds, params, model, trainer.params,
                            csv=False, progress=False)
     nsp_acc = total[0, 0] / total[0, 1]
+    ds.get_all_answers = False
     chance = 1.0 / np.mean(np.asarray(
         [ds[i]["num_ans"] for i in range(len(ds))], np.float64))
     assert total[0, 1] == len(ds)
@@ -275,3 +276,52 @@ def test_training_learns_retrieval_task(tmp_path):
     # for cross-version numeric drift while staying ~2.5x above chance
     assert nsp_acc >= 0.10 and nsp_acc > 2 * chance, \
         f"val ranking accuracy {nsp_acc:.3f} (chance {chance:.3f})"
+
+    # ---- phase 2: the fast-scorer modes on a REAL learned task ----------
+    # train the light candidate head on the frozen learned backbone, then
+    # check the fast-only and the topk shortlist+rescore eval paths also
+    # score far above chance (the synthetic-data delta in
+    # test_fast_scorer.py can't speak to accuracy; this task can).
+    import functools
+    import jax.numpy as jnp
+    from crct_tpu.train.eval_loop import build_fast_rows
+    from crct_tpu.train.fast_scorer_train import train_fast_scorer
+    trained = jax.device_get(trainer.params)
+    model_f = CRCTModel(config=cfg, categories=params["categories"],
+                        fast_scorer=True)
+    ds.split = "val"
+    ds.get_all_answers = True
+    sample = next(iter(DataLoader(ds, batch_size=4, shuffle=False,
+                                  num_workers=0)))
+    rows = {k: jnp.asarray(v) for k, v in build_fast_rows(sample).items()}
+    fvars = jax.jit(functools.partial(model_f.init, train=False))(
+        {"params": jax.random.key(1)}, rows)
+    ds.get_all_answers = False
+    fparams = dict(trained)
+    fparams["fast_scorer"] = jax.device_get(fvars["params"])["fast_scorer"]
+    pf = dict(params)
+    pf["fast_scorer"] = True
+    fparams, _ = train_fast_scorer(pf, ds, model_f, fparams, steps=200,
+                                   lr=1e-3, batch_questions=16,
+                                   log_print=lambda s: None)
+
+    def eval_acc(extra):
+        pp = dict(params)
+        pp.update(extra)
+        ds.split = "val"
+        ds.get_all_answers = True
+        vl = DataLoader(ds, batch_size=8, shuffle=False, drop_last=False,
+                        num_workers=0)
+        t, _, _ = evaluate(vl, ds, pp, model_f, fparams, csv=False,
+                           progress=False)
+        ds.get_all_answers = False
+        return t[0, 0] / t[0, 1]
+
+    acc_fast = eval_acc({"fast_scorer": True})
+    acc_topk = eval_acc({"fast_scorer": True, "fast_scorer_topk": 8})
+    # measured at this recipe: fast-only 0.266, topk8 0.203 (topk can beat
+    # the full protocol: the rescoring model sees 8 candidates, not ~25)
+    assert acc_fast >= 0.10 and acc_fast > 2 * chance, \
+        f"fast-scorer val accuracy {acc_fast:.3f} (chance {chance:.3f})"
+    assert acc_topk >= 0.10 and acc_topk > 2 * chance, \
+        f"topk8 rescore val accuracy {acc_topk:.3f} (chance {chance:.3f})"
