@@ -8,6 +8,12 @@ Usage parity:
 Resumable: completed question ids are re-read from the per-rank CSVs and
 excluded from the index set; accumulator tensors reload from snapshots
 (reference evaluation.py:69-126,146-153).
+
+Batch answer serving: `-predictions_out answers.jsonl` additionally writes
+one JSON record per question (answer, cls_output, reg_output, confidence,
+gt_answer) — the demo bot's pred dict (reference Interactive_demo.py:
+161-247) at full eval-loop throughput instead of one question per REPL
+turn. Composes with -fast_scorer / -fast_scorer_topk.
 """
 
 from __future__ import annotations
@@ -91,9 +97,27 @@ def main(argv=None):
     chunked, _ = next(_chunk_rows(rows, resolve_eval_chunk(params)))
     model, model_params = load_eval_model(params, chunked)
 
-    total, breakdown, histogram = evaluate(
-        loader, dataset, params, model, model_params,
-        progress=params["eval_type"], csv=True, cont_eval=cont_eval)
+    on_predictions = pred_file = None
+    if params.get("predictions_out"):
+        import json
+        path = params["predictions_out"]
+        if jax.process_count() > 1:   # one file per host, like the eval CSVs
+            path += f".rank{jax.process_index()}"
+        pred_file = open(path, "a" if cont_eval else "w")
+
+        def on_predictions(recs):
+            for r in recs:
+                pred_file.write(json.dumps(r, default=str) + "\n")
+            pred_file.flush()
+
+    try:
+        total, breakdown, histogram = evaluate(
+            loader, dataset, params, model, model_params,
+            progress=params["eval_type"], csv=True, cont_eval=cont_eval,
+            on_predictions=on_predictions)
+    finally:
+        if pred_file is not None:
+            pred_file.close()
 
     print_acc_table(print, total)
     if "plotqa" in params["dataset"]:

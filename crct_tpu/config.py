@@ -211,6 +211,12 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
                              'numerics whenever the true answer is in the '
                              'shortlist, ~(120/K)x cheaper than the full '
                              'fan-out (0 = fast head scores alone)')
+    parser.add_argument('-predictions_out', type=str, default='',
+                        help='cli.evaluate: also write one JSONL prediction '
+                             'record per question (answer, confidence, '
+                             'reg_output, gt) — batch answer serving at '
+                             'eval-loop throughput; rank-suffixed when '
+                             'multi-process')
     parser.add_argument('-rng_impl', type=str, default='rbg',
                         choices=['rbg', 'threefry2x32'],
                         help='dropout PRNG (rbg is ~40%% faster on TPU)')
@@ -292,6 +298,7 @@ def default_params(**overrides: Any) -> Dict[str, Any]:
         mesh_shape='', dist_url='', profile=False, rng_impl='rbg',
         opt_bf16_m=False,
         fast_scorer=False, fast_scorer_topk=0, fs_steps=2000, fs_lr=1e-3,
+        predictions_out='',
     )
     params['continue'] = False
     params.update(overrides)

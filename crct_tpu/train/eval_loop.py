@@ -434,7 +434,8 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
              model_params, *, eval_batch_size: Optional[int] = None,
              progress: Any = False, csv: bool = True, cont_eval: bool = False,
              log_print: Optional[Callable[[str], None]] = None,
-             allreduce: Optional[Callable[[np.ndarray], np.ndarray]] = None):
+             allreduce: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+             on_predictions: Optional[Callable[[List[dict]], None]] = None):
     """Run full-candidate eval; returns (total_correct[6,2], breakdown[5,4,3,3])."""
     log_print = log_print or (lambda msg: print(msg, flush=True))
     chunk = eval_batch_size or resolve_eval_chunk(params)
@@ -552,16 +553,24 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_regl1 = np.where(nonempty, regl1[sel], np.inf)
             ans_reg_out = np.where(nonempty, reg_out[sel], np.nan)
             nsp_right = (answers_idx == gt_id) & nonempty
+            ans_prob = probs[np.arange(B), best_k]
         elif fast:
             # one backbone pass per question + light candidate head; the
             # regression outputs come from the same answer-masked pass
+            frows = build_fast_rows(batch)
             cand_logits, ans_reg_out, ans_reg5, ans_regl1 = run_chunks(
-                build_fast_rows(batch), chunk_size=qchunk)
+                frows, chunk_size=qchunk)
             if regs_mode:
                 answers_idx = gt_id.astype(np.int64)
             else:
                 answers_idx = np.argmax(cand_logits, axis=-1)
             nsp_right = answers_idx == gt_id
+            masked = np.where(frows["cand_valid"] > 0, cand_logits, -np.inf)
+            masked = masked - masked.max(axis=1, keepdims=True)
+            e = np.exp(masked)
+            with np.errstate(invalid="ignore"):
+                smax = e / np.maximum(e.sum(axis=1, keepdims=True), 1e-30)
+            ans_prob = smax[np.arange(len(ids)), answers_idx]
         elif binary:
             rows = {k: np.asarray(batch[k]) for k in ROW_KEYS if k in batch}
             nsp_probs, reg_out, reg5, regl1 = run_chunks(rows)
@@ -572,6 +581,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_regl1 = np.zeros(len(ids))
             ans_reg_out = np.zeros(len(ids))
             answers_idx = answers
+            ans_prob = np.where(answers == 1, nsp_probs, 1.0 - nsp_probs)
         elif not np.any(np.asarray(batch["num_ans"]).reshape(-1) > 0):
             # every question in this loader batch has zero valid candidates
             # (possible on a tail batch of poisoned questions): nothing to
@@ -583,6 +593,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_reg5 = np.full(len(ids), np.inf)
             ans_regl1 = np.full(len(ids), np.inf)
             ans_reg_out = np.full(len(ids), np.nan)
+            ans_prob = np.full(len(ids), np.nan)
         else:
             rows, offsets = _flatten_valid_rows(batch)
             nsp_probs, reg_out, reg5, regl1 = run_chunks(rows)
@@ -603,6 +614,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_regl1 = np.where(nonempty, regl1[sel], np.inf)
             ans_reg_out = np.where(nonempty, reg_out[sel], np.nan)
             nsp_right = (answers_idx == gt_id) & nonempty
+            ans_prob = np.where(nonempty, nsp_probs[sel], np.nan)
         inf_time[1] += len(ids)
 
         tol = np.asarray(batch["tolerance_margin"]).reshape(len(ids), -1)[:, 0]
@@ -610,6 +622,40 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         reg_t_right = (ans_regl1 <= tol) & needs_reg
         correct = nsp_right & (~needs_reg | reg_right)
         t_correct = nsp_right & (~needs_reg | reg_t_right)
+
+        if on_predictions is not None and dataset is not None:
+            # batch answer serving: one record per question, mirroring the
+            # demo bot's pred dict (cli/demo.py / reference
+            # Interactive_demo.py:161-247) at full eval-loop throughput
+            recs = []
+            for i in range(len(ids)):
+                raw = dataset.get_raw(int(ids[i]))
+                rec = {"question_id": int(ids[i]),
+                       "image_index": int(raw["image_index"]),
+                       "question": str(raw.get("question_string", "")),
+                       "is_reg": bool(needs_reg[i]),
+                       "confidence": (float(ans_prob[i])
+                                      if np.isfinite(ans_prob[i]) else None)}
+                if binary:
+                    rec["answer"] = rec["cls_output"] = int(answers_idx[i])
+                else:
+                    opts = dataset.get_possible_answers(raw["image_index"])
+                    ci = int(answers_idx[i])
+                    rec["cls_output"] = (str(opts[ci])
+                                         if 0 <= ci < len(opts) else None)
+                    if needs_reg[i]:
+                        rec["reg_output"] = (float(ans_reg_out[i])
+                                             if np.isfinite(ans_reg_out[i])
+                                             else None)
+                        rec["answer"] = rec["reg_output"]
+                    else:
+                        rec["answer"] = rec["cls_output"]
+                if raw.get("answer") is not None:
+                    a = raw["answer"]
+                    rec["gt_answer"] = (a.item() if hasattr(a, "item")
+                                        else a)
+                recs.append(rec)
+            on_predictions(recs)
 
         if logger is not None:
             gt = np.asarray(batch["gt"]).reshape(len(ids), -1)[:, 0]

@@ -71,12 +71,21 @@ def test_binary_eval_end_to_end(tmp_path):
     from crct_tpu.train.train_loop import device_batch
     variables = model.init({"params": jax.random.key(0)},
                            device_batch(batch), train=False)
+    got = []
     total, breakdown, hist = evaluate(loader, ds, params, model,
-                                      variables["params"], csv=False)
+                                      variables["params"], csv=False,
+                                      on_predictions=got.extend)
     n = len(ds)
     assert total[0, 1] == n           # every question scored once
     assert total[2, 1] == 0           # no regression questions
     assert 0 <= total[0, 0] <= n
+    # binary-mode prediction records: answer is the 0/1 class, confidence
+    # is the probability of the predicted class
+    assert len(got) == n
+    for r in got:
+        assert r["answer"] in (0, 1) and r["answer"] == r["cls_output"]
+        assert r["confidence"] is None or 0.5 <= r["confidence"] <= 1.0
+        assert not r["is_reg"]
 
 
 def test_training_learns_binary_answers(tmp_path):

@@ -63,10 +63,22 @@ def test_train_then_evaluate_cli_roundtrip(cli_env, capsys):
              str(cli_env / "ds.json"), "-eval_set", "test",
              "-save_name", "run1_eval", "-eval_batch_size", "32",
              "-num_workers", "1",
+             "-predictions_out", str(cli_env / "preds.jsonl"),
              "-start_checkpoint", str(ckpt)])
         assert total[0, 1] > 0 and np.isfinite(np.asarray(total)).all()
         out = capsys.readouterr().out
         assert "Done evaluation" in out
+
+        # batch answer serving: one JSONL record per evaluated question
+        with open(cli_env / "preds.jsonl") as f:
+            recs = [json.loads(line) for line in f]
+        assert len(recs) == int(total[0, 1])
+        for r in recs:
+            assert {"question_id", "image_index", "question", "answer",
+                    "cls_output", "is_reg", "confidence",
+                    "gt_answer"} <= set(r)
+            if r["is_reg"]:
+                assert "reg_output" in r
 
         # resume path: completed ids excluded on the second run
         evaluate_main(

@@ -292,3 +292,25 @@ def test_is_rank0_gating():
     assert is_rank0({}) is True                 # single-process: index 0
     assert is_rank0({"rank": 0}) is True
     assert is_rank0({"rank": 3}) is False
+
+
+def test_evaluate_emits_prediction_records(eval_env):
+    """on_predictions: one record per question with the demo-bot pred-dict
+    fields, cls_output resolved through get_possible_answers and the
+    confidence = the selected candidate's NSP probability."""
+    params, ds, model, mp, loader = eval_env
+    got = []
+    evaluate(loader, ds, params, model, mp, csv=False, progress=False,
+             on_predictions=got.extend)
+    assert len(got) == len(ds)
+    for r in got:
+        assert r["question_id"] in range(len(ds))
+        raw = ds.get_raw(r["question_id"])
+        assert r["question"] == raw["question_string"]
+        assert r["image_index"] == raw["image_index"]
+        opts = [str(o) for o in ds.get_possible_answers(r["image_index"])]
+        assert r["cls_output"] in opts
+        assert r["confidence"] is None or 0.0 <= r["confidence"] <= 1.0
+        assert r["answer"] == (r.get("reg_output") if r["is_reg"]
+                               else r["cls_output"])
+        assert "gt_answer" in r

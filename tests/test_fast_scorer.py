@@ -180,3 +180,28 @@ def test_topk_rescore_small_k_recall_and_accuracy(fast_env, capsys):
     print(f"[fast-scorer topk={K}] shortlist recall={recall:.3f} "
           f"nsp acc={nsp_acc:.3f}")
     ds.get_all_answers = False
+
+
+def test_fast_modes_emit_prediction_records(fast_env):
+    """on_predictions works in the fast-only and topk-rescore modes too:
+    one record per question, confidence from the head softmax (fast) or
+    the rescored NSP probability (topk)."""
+    params, ds, model, mp = fast_env
+    merged, _ = train_fast_scorer(
+        dict(params), ds, model, mp, steps=5, lr=3e-3, batch_questions=4,
+        log_print=lambda m: None)
+    ds.split = "val"
+    ds.get_all_answers = True
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    for extra in ({}, {"fast_scorer_topk": 4}):
+        got = []
+        evaluate(loader, ds, dict(params, **extra), model, merged,
+                 csv=False, log_print=lambda m: None,
+                 on_predictions=got.extend)
+        assert len(got) == len(ds), extra
+        for r in got:
+            opts = [str(o) for o in ds.get_possible_answers(r["image_index"])]
+            assert r["cls_output"] in opts, extra
+            assert r["confidence"] is None or 0 <= r["confidence"] <= 1
+    ds.get_all_answers = False
