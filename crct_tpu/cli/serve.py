@@ -1,0 +1,39 @@
+"""HTTP batch-serving entry point (beyond-reference).
+
+The reference serves one question per REPL turn
+(reference CRCT/Interactive_demo.py:250-258); this serves the same pred
+dicts over HTTP with dynamic batching onto the jitted fixed-shape eval
+path — see crct_tpu/serve.py for the API.
+
+Usage:
+    python -m crct_tpu.cli.serve -qa_file qa_pairs_test.npy \\
+        -dataset_config config/plotqa.json -eval_set test \\
+        -start_checkpoint crct_tpu.ckpt -port 8373
+"""
+
+from __future__ import annotations
+
+from crct_tpu.config import read_command_line
+from crct_tpu.serve import make_server
+
+
+def main(argv=None):
+    params = read_command_line(argv)
+    print("Loading model and warming up the compiled eval step "
+          "(first compile can take minutes)...", flush=True)
+    server = make_server(params)
+    host, port = server.server_address[:2]
+    print(f"Serving QA on http://{host or '0.0.0.0'}:{port} "
+          f"(max_batch={params['serve_max_batch']}, "
+          f"max_delay={params['serve_max_delay_ms']}ms). "
+          f"POST /v1/answer | POST /v1/answers | GET /healthz", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover - interactive
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

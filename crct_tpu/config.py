@@ -217,6 +217,14 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
                              'reg_output, gt) — batch answer serving at '
                              'eval-loop throughput; rank-suffixed when '
                              'multi-process')
+    parser.add_argument('-port', type=int, default=8373,
+                        help='cli.serve: HTTP port (0 picks a free port)')
+    parser.add_argument('-serve_max_batch', type=int, default=32,
+                        help='cli.serve: max questions coalesced into one '
+                             'model dispatch by the dynamic batcher')
+    parser.add_argument('-serve_max_delay_ms', type=float, default=5.0,
+                        help='cli.serve: how long the first waiting request '
+                             'holds the batching window open')
     parser.add_argument('-rng_impl', type=str, default='rbg',
                         choices=['rbg', 'threefry2x32'],
                         help='dropout PRNG (rbg is ~40%% faster on TPU)')
@@ -299,6 +307,7 @@ def default_params(**overrides: Any) -> Dict[str, Any]:
         opt_bf16_m=False,
         fast_scorer=False, fast_scorer_topk=0, fs_steps=2000, fs_lr=1e-3,
         predictions_out='',
+        port=8373, serve_max_batch=32, serve_max_delay_ms=5.0,
     )
     params['continue'] = False
     params.update(overrides)

@@ -1,0 +1,362 @@
+"""HTTP batch serving for the QA stage (beyond-reference).
+
+The reference's only serving surface is a one-question-per-turn REPL
+(reference CRCT/Interactive_demo.py:63-111).  On TPU every dispatch pays a
+host->device round trip (and, behind a tunneled backend, a network round
+trip), so a production server wants DYNAMIC BATCHING: concurrent HTTP
+requests queue, a single scorer thread coalesces them into the fixed-shape
+candidate-row chunks the jitted eval step already compiles for
+(train/eval_loop.py), and the per-question pred dicts fan back out to their
+callers.  No new compiled shapes are introduced by serving: the row chunk
+is the same ``resolve_eval_chunk`` geometry cli.evaluate uses.
+
+Surfaces:
+  GET  /healthz                    -> {"status": "ok", dispatches, served}
+  GET  /v1/figures/<id>/questions  -> known questions for a figure
+  POST /v1/answer                  -> one pred dict (free-form question or a
+                                      known question picked by index)
+  POST /v1/answers                 -> list of pred dicts, scored as a batch
+
+The pred dict mirrors ``-predictions_out`` records (answer, cls_output,
+reg_output, is_reg, confidence; reference Interactive_demo.py:161-247),
+plus an optional ``top`` ranked candidate list.  Unlike the demo REPL's
+display path, ``confidence`` is the model's raw per-candidate NSP
+probability, not the reference's double-softmax display quirk
+(Interactive_demo.py:208) — ranking is identical either way.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from time import monotonic
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from crct_tpu.data.dataset import ChartQADataset, collate
+from crct_tpu.data.example_builder import REG_TOKEN
+from crct_tpu.models.crct import build_model
+from crct_tpu.train.eval_loop import (_chunk_rows, _flatten_valid_rows,
+                                      make_eval_step, resolve_eval_chunk,
+                                      segmented_argmax)
+from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
+
+
+class QAScorer:
+    """Batched question scorer on the jitted eval path.
+
+    ``score`` takes a LIST of qa_pairs and answers them all through shared
+    fixed-shape dispatches — the vectorized form of the demo bot's
+    single-question ``forward`` (cli/demo.py / reference
+    Interactive_demo.py:161-247)."""
+
+    def __init__(self, params: Dict[str, Any], dataset: ChartQADataset,
+                 model=None):
+        self.params = params
+        self.dataset = dataset
+        self.model = model if model is not None else build_model(params)
+        self.eval_step = make_eval_step(self.model)
+        self.chunk = resolve_eval_chunk(params)
+        self.model_params = None
+        self.dispatches = 0
+        self.served = 0
+
+    def _ensure_params(self, rows: Dict[str, np.ndarray]) -> None:
+        if self.model_params is not None:
+            return
+        piece, _ = next(_chunk_rows(rows, self.chunk))
+        variables = jax.jit(lambda r, b: self.model.init(r, b, train=False))(
+            {"params": jax.random.key(0)}, piece)
+        self.model_params = variables["params"]
+        if self.params.get("start_checkpoint"):
+            loaded = load_checkpoint(self.params["start_checkpoint"])
+            src = loaded.get("model_state_dict", loaded)
+            self.model_params, _ = transfer_params(self.model_params, src)
+
+    def score(self, qa_pairs: List[Dict[str, Any]],
+              top: int = 0) -> List[Dict[str, Any]]:
+        ds = self.dataset
+        items, opts_list = [], []
+        for qa in qa_pairs:
+            fig_feat = ds.get_fig_feat(qa["image_index"])
+            items.append(ds.builder.build(
+                fig_feat, qa, split=ds.split, get_all_answers=True,
+                qa_ind=-1, rng=np.random.default_rng(0)))
+            opts_list.append(ds.get_possible_answers(qa["image_index"],
+                                                     fig_feat))
+        batch = collate(items)
+        rows, offsets = _flatten_valid_rows(batch)
+        self._ensure_params(rows)
+
+        nsp_list, reg_list = [], []
+        for piece, valid in _chunk_rows(rows, self.chunk):
+            out = self.eval_step(self.model_params, piece)
+            nsp, reg_out = jax.device_get((out[0], out[1]))  # one fetch
+            nsp_list.append(np.asarray(nsp)[:valid])
+            reg_list.append(np.asarray(reg_out)[:valid])
+            self.dispatches += 1
+        nsp = (np.concatenate(nsp_list) if nsp_list
+               else np.zeros(0, np.float32))
+        reg_out = (np.concatenate(reg_list) if reg_list
+                   else np.zeros(0, np.float32))
+
+        B = len(qa_pairs)
+        num_ans = np.asarray(batch["num_ans"]).reshape(-1)
+        needs_reg = (np.asarray(batch["needs_reg"])
+                     .reshape(B, -1)[:, 0].astype(bool))
+        ans_rel = segmented_argmax(nsp, offsets)
+        sel = offsets[:-1] + ans_rel
+
+        recs = []
+        for i, qa in enumerate(qa_pairs):
+            rec: Dict[str, Any] = {
+                "image_index": int(qa["image_index"]),
+                "question": str(qa.get("question_string", "")),
+                "is_reg": bool(needs_reg[i]),
+            }
+            if num_ans[i] == 0:
+                rec.update(answer=None, cls_output=None, confidence=None)
+                recs.append(rec)
+                continue
+            opts = opts_list[i]
+            ci = int(ans_rel[i])
+            rec["confidence"] = float(nsp[sel[i]])
+            rec["cls_output"] = str(opts[ci]) if ci < len(opts) else None
+            if needs_reg[i] or rec["cls_output"] == REG_TOKEN:
+                rec["reg_output"] = float(reg_out[sel[i]])
+                rec["answer"] = rec["reg_output"]
+            else:
+                rec["answer"] = rec["cls_output"]
+            if top > 0:
+                probs = nsp[offsets[i]:offsets[i + 1]]
+                order = np.argsort(-probs)[:top]
+                rec["top"] = [{"answer": str(opts[j]) if j < len(opts)
+                               else None, "confidence": float(probs[j])}
+                              for j in map(int, order)]
+            recs.append(rec)
+        self.served += B
+        return recs
+
+    def warmup(self, qa_pair: Dict[str, Any]) -> None:
+        """Pay the eval-step compile (minutes on a remote-AOT backend)
+        BEFORE accepting traffic, so no caller's request times out on it."""
+        self.score([qa_pair])
+        self.dispatches = 0
+        self.served = 0
+
+
+_CLOSE = object()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent submissions into shared scorer calls.
+
+    One consumer thread drains the queue: the first waiting request opens a
+    window of ``max_delay_ms``; everything that arrives inside it (up to
+    ``max_batch``) rides the same fixed-shape dispatch.  Callers block on a
+    Future, so request threads never touch the model or JAX state — the
+    scorer runs on exactly one thread."""
+
+    def __init__(self, score_fn, max_batch: int = 32,
+                 max_delay_ms: float = 5.0):
+        self._score_fn = score_fn
+        self._max_batch = max(1, int(max_batch))
+        self._max_delay = max(0.0, float(max_delay_ms)) / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self.batch_sizes: List[int] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, qa_pair: Dict[str, Any], top: int = 0) -> Future:
+        fut: Future = Future()
+        self._q.put((qa_pair, top, fut))
+        return fut
+
+    def close(self) -> None:
+        self._q.put(_CLOSE)
+        self._thread.join(timeout=10)
+
+    def _loop(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is _CLOSE:
+                return
+            pending = [first]
+            deadline = monotonic() + self._max_delay
+            while len(pending) < self._max_batch:
+                timeout = deadline - monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is _CLOSE:
+                    self._flush(pending)
+                    return
+                pending.append(nxt)
+            self._flush(pending)
+
+    def _flush(self, pending) -> None:
+        # ``top`` shapes only the host-side response, so mixed values can
+        # share one dispatch: score at the batch max, trim per request
+        top = max(p[1] for p in pending)
+        try:
+            recs = self._score_fn([p[0] for p in pending], top=top)
+        except Exception as exc:  # surface to every caller, keep serving
+            for _, _, fut in pending:
+                fut.set_exception(exc)
+            return
+        self.batch_sizes.append(len(pending))
+        for (_, want_top, fut), rec in zip(pending, recs):
+            if want_top <= 0:
+                rec.pop("top", None)
+            elif "top" in rec:
+                rec["top"] = rec["top"][:want_top]
+            fut.set_result(rec)
+
+
+class QAServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer carrying the scorer, batcher and question index."""
+
+    daemon_threads = True
+
+    def __init__(self, addr, scorer: QAScorer, *, max_batch: int = 32,
+                 max_delay_ms: float = 5.0, timeout_s: float = 120.0):
+        super().__init__(addr, _Handler)
+        self.scorer = scorer
+        self.batcher = DynamicBatcher(scorer.score, max_batch=max_batch,
+                                      max_delay_ms=max_delay_ms)
+        self.answer_timeout = timeout_s
+        self.img_to_qas: Dict[int, List[Dict[str, Any]]] = {}
+        for qa in scorer.dataset.qa[scorer.dataset.split]:
+            self.img_to_qas.setdefault(
+                int(qa["image_index"]), []).append(qa)
+
+    def server_close(self) -> None:  # shutdown drains the batcher too
+        self.batcher.close()
+        super().server_close()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: QAServer
+
+    # ---- helpers -------------------------------------------------------
+    def _json(self, code: int, payload: Dict[str, Any]) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self) -> Optional[Dict[str, Any]]:
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n))
+        except (ValueError, json.JSONDecodeError):
+            self._json(400, {"error": "invalid JSON body"})
+            return None
+
+    def _qa_pair(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        """Resolve a request into a qa_pair (raises ValueError -> 400)."""
+        if "image_index" not in req:
+            raise ValueError("missing 'image_index'")
+        image_index = int(req["image_index"])
+        known = self.server.img_to_qas.get(image_index)
+        if "question_id" in req:
+            if not known:
+                raise ValueError(f"no known questions for figure "
+                                 f"{image_index}")
+            qi = int(req["question_id"])
+            if not 0 <= qi < len(known):
+                raise ValueError(f"question_id {qi} out of range "
+                                 f"(figure has {len(known)})")
+            return known[qi]
+        if not req.get("question"):
+            raise ValueError("provide 'question' text or a 'question_id'")
+        # free-form question: the synthetic qa_pair the demo bot builds
+        # (reference Interactive_demo.py:82-84)
+        return {"question_string": str(req["question"]),
+                "image_index": image_index, "answer": None,
+                "qid": None, "type": "dot"}
+
+    def _answer(self, reqs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        futs = [self.server.batcher.submit(self._qa_pair(r),
+                                           top=int(r.get("top", 0)))
+                for r in reqs]
+        return [f.result(timeout=self.server.answer_timeout) for f in futs]
+
+    # ---- HTTP verbs ----------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        parts = self.path.strip("/").split("/")
+        if self.path == "/healthz":
+            self._json(200, {"status": "ok",
+                             "dispatches": self.server.scorer.dispatches,
+                             "served": self.server.scorer.served})
+        elif (len(parts) == 4 and parts[:2] == ["v1", "figures"]
+                and parts[3] == "questions"):
+            try:
+                image_index = int(parts[2])
+            except ValueError:
+                self._json(400, {"error": f"bad figure id {parts[2]!r}"})
+                return
+            qas = self.server.img_to_qas.get(image_index)
+            if qas is None:
+                self._json(404, {"error": f"unknown figure {image_index}"})
+                return
+            self._json(200, {"image_index": image_index, "questions": [
+                str(qa["question_string"]) for qa in qas]})
+        else:
+            self._json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        req = self._read_json()
+        if req is None:
+            return
+        try:
+            if self.path == "/v1/answer":
+                self._json(200, self._answer([req])[0])
+            elif self.path == "/v1/answers":
+                if not isinstance(req.get("questions"), list):
+                    raise ValueError("body must carry a 'questions' list")
+                self._json(200, {"answers": self._answer(req["questions"])})
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+        except ValueError as exc:
+            self._json(400, {"error": str(exc)})
+        except KeyError as exc:  # unknown image id in the feature shards
+            self._json(404, {"error": f"unknown figure: {exc}"})
+        except FuturesTimeout:
+            self._json(503, {"error": "scoring timed out (the model may "
+                                      "still be compiling); retry"})
+
+    def log_message(self, fmt: str, *args) -> None:  # quiet by default
+        pass
+
+
+def make_server(params: Dict[str, Any], *, dataset=None, model=None,
+                port: Optional[int] = None,
+                warmup: bool = True) -> QAServer:
+    """Build the server (port 0 picks a free port; useful for tests).
+
+    ``warmup`` scores one known question before the server is returned so
+    the eval-step compile (minutes over a remote-AOT backend) happens
+    before traffic is accepted, not inside the first caller's timeout."""
+    if dataset is None:
+        dataset = ChartQADataset(params, params["eval_set"],
+                                 init_split=params["eval_set"])
+        dataset.get_all_answers = True
+    scorer = QAScorer(params, dataset, model=model)
+    server = QAServer(("", params["port"] if port is None else port), scorer,
+                      max_batch=params.get("serve_max_batch", 32),
+                      max_delay_ms=params.get("serve_max_delay_ms", 5.0))
+    if warmup and server.img_to_qas:
+        scorer.warmup(next(iter(server.img_to_qas.values()))[0])
+    return server
