@@ -19,14 +19,21 @@ from crct_tpu.serve import make_server
 
 def main(argv=None):
     params = read_command_line(argv)
+    if params.get('serve_no_dataset') and \
+            not params.get('serve_detector_weights'):
+        raise SystemExit("-serve_no_dataset needs -serve_detector_weights: "
+                         "with no feature shards, figures can only arrive "
+                         "through POST /v1/figures ingestion")
     print("Loading model and warming up the compiled eval step "
           "(first compile can take minutes)...", flush=True)
     server = make_server(params)
     host, port = server.server_address[:2]
+    ingest = " | POST /v1/figures (PNG ingest)" if server.ingestor else ""
     print(f"Serving QA on http://{host or '0.0.0.0'}:{port} "
           f"(max_batch={params['serve_max_batch']}, "
           f"max_delay={params['serve_max_delay_ms']}ms). "
-          f"POST /v1/answer | POST /v1/answers | GET /healthz", flush=True)
+          f"POST /v1/answer | POST /v1/answers | GET /healthz{ingest}",
+          flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:  # pragma: no cover - interactive

@@ -225,6 +225,22 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
     parser.add_argument('-serve_max_delay_ms', type=float, default=5.0,
                         help='cli.serve: how long the first waiting request '
                              'holds the batching window open')
+    parser.add_argument('-serve_detector_weights', type=str, default='',
+                        help='cli.serve: detector checkpoint; enables '
+                             'POST /v1/figures chart-PNG ingestion '
+                             '(detector + extraction run in-process). '
+                             '"none" = random init (smoke)')
+    parser.add_argument('-serve_detector_canvas', type=str, default='832,1344',
+                        help='cli.serve: compiled detector canvas H,W '
+                             '(multiples of 32)')
+    parser.add_argument('-serve_short_edge', type=int, default=800,
+                        help='cli.serve: ingest-time ResizeShortestEdge '
+                             'target (0 = only downscale to fit)')
+    parser.add_argument('-serve_no_dataset', action='store_true',
+                        help='cli.serve: serve WITHOUT feature shards / QA '
+                             'files — every figure arrives over '
+                             'POST /v1/figures (requires '
+                             '-serve_detector_weights)')
     parser.add_argument('-rng_impl', type=str, default='rbg',
                         choices=['rbg', 'threefry2x32'],
                         help='dropout PRNG (rbg is ~40%% faster on TPU)')
@@ -308,6 +324,8 @@ def default_params(**overrides: Any) -> Dict[str, Any]:
         fast_scorer=False, fast_scorer_topk=0, fs_steps=2000, fs_lr=1e-3,
         predictions_out='',
         port=8373, serve_max_batch=32, serve_max_delay_ms=5.0,
+        serve_detector_weights='', serve_detector_canvas='832,1344',
+        serve_short_edge=800, serve_no_dataset=False,
     )
     params['continue'] = False
     params.update(overrides)

@@ -12,10 +12,21 @@ is the same ``resolve_eval_chunk`` geometry cli.evaluate uses.
 
 Surfaces:
   GET  /healthz                    -> {"status": "ok", dispatches, served}
+  GET  /v1/figures                 -> ingested figure ids
   GET  /v1/figures/<id>/questions  -> known questions for a figure
+  POST /v1/figures                 -> ingest a chart PNG: the detector +
+                                      extraction build the feature record
+                                      in-process (crct_tpu/ingest.py);
+                                      requires -serve_detector_weights
   POST /v1/answer                  -> one pred dict (free-form question or a
                                       known question picked by index)
   POST /v1/answers                 -> list of pred dicts, scored as a batch
+
+With ``-serve_no_dataset`` the server runs WITHOUT feature shards or QA
+files: every figure arrives over POST /v1/figures and every question is
+free-form — the full online PNG->answer composition the reference only
+supports as an offline two-stage pipeline (Detector/extract_features.py
+then CRCT/Interactive_demo.py).
 
 The pred dict mirrors ``-predictions_out`` records (answer, cls_output,
 reg_output, is_reg, confidence; reference Interactive_demo.py:161-247),
@@ -27,6 +38,8 @@ probability, not the reference's double-softmax display quirk
 
 from __future__ import annotations
 
+import base64
+import io
 import json
 import queue
 import threading
@@ -48,6 +61,33 @@ from crct_tpu.train.eval_loop import (_chunk_rows, _flatten_valid_rows,
 from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
 
 
+class InMemoryFigures:
+    """Dataset stand-in for ingest-only serving (-serve_no_dataset).
+
+    No feature shards, no QA file: every figure record arrives through
+    POST /v1/figures and lands in ``QAScorer.figs``; this supplies the
+    builder/tokenizer surface the scorer needs (the subset of
+    ChartQADataset the serving path touches)."""
+
+    def __init__(self, params: Dict[str, Any], split: str = "test"):
+        from crct_tpu.data.example_builder import ExampleBuilder
+        from crct_tpu.data.tokenizer import load_tokenizer
+        self.params = params
+        self.tokenizer = load_tokenizer(params.get("vocab_file", ""))
+        self.builder = ExampleBuilder(params, self.tokenizer)
+        self.split = split
+        self.qa: Dict[str, List[Dict[str, Any]]] = {split: []}
+
+    def get_fig_feat(self, image_id: int) -> Dict[str, Any]:
+        raise KeyError(image_id)    # only ingested figures exist
+
+    def get_possible_answers(self, image_id: int,
+                             fig_feat: Optional[Dict] = None) -> List[str]:
+        if fig_feat is None:
+            fig_feat = self.get_fig_feat(image_id)
+        return self.builder.get_possible_answers(fig_feat)
+
+
 class QAScorer:
     """Batched question scorer on the jitted eval path.
 
@@ -64,8 +104,16 @@ class QAScorer:
         self.eval_step = make_eval_step(self.model)
         self.chunk = resolve_eval_chunk(params)
         self.model_params = None
+        self.figs: Dict[int, Dict[str, Any]] = {}   # ingested overlay
         self.dispatches = 0
         self.served = 0
+
+    def add_figure(self, record: Dict[str, Any]) -> int:
+        """Register an ingested feature record; its image_id becomes a
+        servable image_index (overlaying any same-id shard figure)."""
+        image_id = int(record["image_id"])
+        self.figs[image_id] = record
+        return image_id
 
     def _ensure_params(self, rows: Dict[str, np.ndarray]) -> None:
         if self.model_params is not None:
@@ -84,7 +132,9 @@ class QAScorer:
         ds = self.dataset
         items, opts_list = [], []
         for qa in qa_pairs:
-            fig_feat = ds.get_fig_feat(qa["image_index"])
+            idx = int(qa["image_index"])
+            fig_feat = (self.figs[idx] if idx in self.figs
+                        else ds.get_fig_feat(idx))
             items.append(ds.builder.build(
                 fig_feat, qa, split=ds.split, get_all_answers=True,
                 qa_ind=-1, rng=np.random.default_rng(0)))
@@ -228,9 +278,14 @@ class QAServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, addr, scorer: QAScorer, *, max_batch: int = 32,
-                 max_delay_ms: float = 5.0, timeout_s: float = 120.0):
+                 max_delay_ms: float = 5.0, timeout_s: float = 120.0,
+                 ingestor=None):
         super().__init__(addr, _Handler)
         self.scorer = scorer
+        self.ingestor = ingestor
+        self._ingest_lock = threading.Lock()
+        self._next_fig_id = 10 ** 9       # auto ids clear of dataset ids
+        self._qa_warm_kicked = False
         self.batcher = DynamicBatcher(scorer.score, max_batch=max_batch,
                                       max_delay_ms=max_delay_ms)
         self.answer_timeout = timeout_s
@@ -238,6 +293,41 @@ class QAServer(ThreadingHTTPServer):
         for qa in scorer.dataset.qa[scorer.dataset.split]:
             self.img_to_qas.setdefault(
                 int(qa["image_index"]), []).append(qa)
+
+    def ingest_figure(self, png_bytes: bytes, *,
+                      image_id: Optional[int] = None,
+                      annotation: Optional[Dict[str, Any]] = None,
+                      ocr_mode: Optional[str] = None) -> Dict[str, Any]:
+        """Decode + detect + extract one chart and register its record.
+
+        Runs on the caller's HTTP thread; the ingestor serializes device
+        dispatches internally, so concurrent uploads are safe."""
+        if self.ingestor is None:
+            raise ValueError("figure ingestion is disabled: start the "
+                             "server with -serve_detector_weights")
+        from PIL import Image, UnidentifiedImageError
+        try:
+            im = Image.open(io.BytesIO(png_bytes))
+        except UnidentifiedImageError:
+            raise ValueError("body does not decode as an image")
+        if image_id is None:
+            with self._ingest_lock:
+                image_id = self._next_fig_id
+                self._next_fig_id += 1
+        record = self.ingestor.ingest(im, int(image_id),
+                                      annotation=annotation,
+                                      ocr_mode=ocr_mode)
+        self.scorer.add_figure(record)
+        if self.scorer.model_params is None and not self._qa_warm_kicked:
+            # no-dataset servers have no known question to warm up with at
+            # startup; pay the QA compile now, off this thread — later
+            # questions queue behind it on the batcher instead of timing
+            # out on their own compile
+            self._qa_warm_kicked = True
+            self.batcher.submit({"question_string": "warmup ?",
+                                 "image_index": int(record["image_id"]),
+                                 "answer": None, "qid": None, "type": "dot"})
+        return record
 
     def server_close(self) -> None:  # shutdown drains the batcher too
         self.batcher.close()
@@ -287,6 +377,34 @@ class _Handler(BaseHTTPRequestHandler):
                 "image_index": image_index, "answer": None,
                 "qid": None, "type": "dot"}
 
+    def _ingest(self, req: Dict[str, Any]) -> None:
+        """POST /v1/figures: {"png_base64", "image_id"?, "annotation"?,
+        "ocr_mode"?} -> the registered figure's id + record summary."""
+        from crct_tpu.ingest import IngestError
+        if not req.get("png_base64"):
+            raise ValueError("missing 'png_base64' (base64-encoded image)")
+        try:
+            png = base64.b64decode(req["png_base64"], validate=True)
+        except (ValueError, TypeError):
+            raise ValueError("'png_base64' is not valid base64")
+        image_id = req.get("image_id")
+        try:
+            record = self.server.ingest_figure(
+                png, image_id=None if image_id is None else int(image_id),
+                annotation=req.get("annotation"),
+                ocr_mode=req.get("ocr_mode"))
+        except IngestError as exc:   # image decoded but yields no record
+            self._json(422, {"error": str(exc)})
+            return
+        opts = self.server.scorer.dataset.get_possible_answers(
+            record["image_id"], record)
+        self._json(200, {
+            "image_index": int(record["image_id"]),
+            "n_elements": int(len(record["vis_feat"])),
+            "n_possible_answers": len(opts),
+            "title": str(record["text_feat"]
+                         .get("title", {}).get("text", ""))})
+
     def _answer(self, reqs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
         futs = [self.server.batcher.submit(self._qa_pair(r),
                                            top=int(r.get("top", 0)))
@@ -300,6 +418,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"status": "ok",
                              "dispatches": self.server.scorer.dispatches,
                              "served": self.server.scorer.served})
+        elif self.path == "/v1/figures":
+            self._json(200, {
+                "ingested": sorted(self.server.scorer.figs),
+                "ingest_enabled": self.server.ingestor is not None})
         elif (len(parts) == 4 and parts[:2] == ["v1", "figures"]
                 and parts[3] == "questions"):
             try:
@@ -327,6 +449,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if not isinstance(req.get("questions"), list):
                     raise ValueError("body must carry a 'questions' list")
                 self._json(200, {"answers": self._answer(req["questions"])})
+            elif self.path == "/v1/figures":
+                self._ingest(req)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
         except ValueError as exc:
@@ -342,21 +466,38 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(params: Dict[str, Any], *, dataset=None, model=None,
-                port: Optional[int] = None,
+                port: Optional[int] = None, ingestor=None,
                 warmup: bool = True) -> QAServer:
     """Build the server (port 0 picks a free port; useful for tests).
 
     ``warmup`` scores one known question before the server is returned so
     the eval-step compile (minutes over a remote-AOT backend) happens
-    before traffic is accepted, not inside the first caller's timeout."""
+    before traffic is accepted, not inside the first caller's timeout.
+    ``ingestor`` (or -serve_detector_weights) enables POST /v1/figures;
+    -serve_no_dataset skips the feature shards entirely."""
     if dataset is None:
-        dataset = ChartQADataset(params, params["eval_set"],
-                                 init_split=params["eval_set"])
-        dataset.get_all_answers = True
+        if params.get("serve_no_dataset"):
+            dataset = InMemoryFigures(params, split=params["eval_set"])
+        else:
+            dataset = ChartQADataset(params, params["eval_set"],
+                                     init_split=params["eval_set"])
+            dataset.get_all_answers = True
+    if ingestor is None and params.get("serve_detector_weights"):
+        from crct_tpu.ingest import FigureIngestor
+        dims = [int(x) for x
+                in str(params["serve_detector_canvas"]).split(",")]
+        canvas = tuple(dims if len(dims) == 2 else dims * 2)
+        ingestor = FigureIngestor.from_weights(
+            params["serve_detector_weights"], dataset=params["dataset"],
+            num_classes=params["categories"], canvas=canvas,
+            short_edge=params.get("serve_short_edge", 800))
     scorer = QAScorer(params, dataset, model=model)
     server = QAServer(("", params["port"] if port is None else port), scorer,
                       max_batch=params.get("serve_max_batch", 32),
-                      max_delay_ms=params.get("serve_max_delay_ms", 5.0))
+                      max_delay_ms=params.get("serve_max_delay_ms", 5.0),
+                      ingestor=ingestor)
     if warmup and server.img_to_qas:
         scorer.warmup(next(iter(server.img_to_qas.values()))[0])
+    if warmup and ingestor is not None:
+        ingestor.warmup()
     return server
