@@ -56,23 +56,20 @@ def main(argv=None):
         p.error("dvqa does not support --ocr-gt: DVQA GT annotations have "
                 "no class labels (the reference crashes on this path too, "
                 "extract_features.py:503-510). Use oracle mode or --OCR.")
+    from crct_tpu.detector.extract import parse_canvas
     try:
-        dims = [int(x) for x in str(args.image_size).split(",")]
-        canvas_h, canvas_w = dims if len(dims) == 2 else dims * 2
-    except ValueError:
-        p.error(f"--image-size must be N or H,W, got {args.image_size!r}")
-    if canvas_h % 32 or canvas_w % 32:
-        p.error(f"--image-size dims must be multiples of 32 (FPN strides), "
-                f"got {canvas_h}x{canvas_w}")
+        canvas_h, canvas_w = parse_canvas(args.image_size)
+    except ValueError as exc:
+        p.error(f"--image-size: {exc}")
 
     import jax
-    import jax.numpy as jnp
     from crct_tpu.detector.extract import (build_feature_record, chunk_gen,
+                                           detector_from_weights,
                                            get_gt_texts, get_nonvis_ids,
-                                           inject_img_token, path_to_img_id,
+                                           inject_img_token, make_detect_one,
+                                           path_to_img_id,
                                            resize_shortest_edge,
                                            sorted_image_files)
-    from crct_tpu.detector.mask_rcnn import MaskRCNN
 
     ann_path = os.path.join(args.dir_path, args.split, "annotations.json")
     gt_ann = None
@@ -81,44 +78,18 @@ def main(argv=None):
         with open(ann_path) as f:
             gt_ann = json.load(f)
 
-    from crct_tpu.detector.convert import detector_file_meta
-    meta = detector_file_meta(
-        args.load_weights if args.load_weights != "none" else "")
-    stride_in_1x1 = meta["stride_in_1x1"]
-    pixel_mean = np.asarray(meta["pixel_mean"], np.float32)
-    pixel_std = np.asarray(meta["pixel_std"], np.float32)
-    model = MaskRCNN(num_classes=args.num_classes,
-                     with_mask=args.dataset == "plotqa",
-                     depth=101 if args.dataset == "figure_qa" else 50,
-                     stride_in_1x1=stride_in_1x1)
-
-    def detect_one(params, image, wh):
-        # one backbone/FPN pass yields both the detections and the <IMG>
-        # whole-image token feature, pooled over the REAL image extent
-        # [0, 0, w, h] (the reference pools the original image box,
-        # extract_features.py:54-72 — not the zero-padded canvas). Masks
-        # are never written to feature records, so the branch is skipped.
-        img_box = jnp.stack([jnp.zeros((), jnp.float32),
-                             jnp.zeros((), jnp.float32),
-                             wh[1], wh[0]])[None, :]
-        out = model.apply({"params": params}, image, img_box,
-                          method="detect_with_roi_features")
-        img_feat = out.pop("roi_features")
-        return out, img_feat[0]
+    # detector geometry + preprocessing conventions derived from the
+    # weights layout; masks are never written to feature records, so the
+    # mask branch is skipped by detect_with_roi_features
+    model, params, pixel_mean, pixel_std = detector_from_weights(
+        args.load_weights, dataset=args.dataset,
+        num_classes=args.num_classes, canvas=(canvas_h, canvas_w))
 
     # batched inference: vmap over images, one device dispatch per
     # --infer-batch (the reference runs Detectron2 image-by-image;
     # batching amortizes dispatch latency and fills the chip)
-    detect_batch = jax.jit(jax.vmap(detect_one, in_axes=(None, 0, 0)))
-
-    # init + restore
-    dummy = jnp.zeros((canvas_h, canvas_w, 3), jnp.float32)
-    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(
-        jax.random.key(0))
-    params = variables["params"]
-    if args.load_weights != "none":     # "none": random init (smoke/bench)
-        from crct_tpu.detector.convert import restore_detector_params
-        params, _ = restore_detector_params(params, args.load_weights)
+    detect_batch = jax.jit(jax.vmap(make_detect_one(model),
+                                    in_axes=(None, 0, 0)))
 
     ocr_mode = "ocr" if args.OCR else ("gt" if args.ocr_gt else "oracle")
     png_dir = os.path.join(args.dir_path, args.split, "png")

@@ -236,6 +236,9 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
     parser.add_argument('-serve_short_edge', type=int, default=800,
                         help='cli.serve: ingest-time ResizeShortestEdge '
                              'target (0 = only downscale to fit)')
+    parser.add_argument('-serve_max_figures', type=int, default=512,
+                        help='cli.serve: max ingested figure records held '
+                             'in memory (FIFO eviction beyond this)')
     parser.add_argument('-serve_no_dataset', action='store_true',
                         help='cli.serve: serve WITHOUT feature shards / QA '
                              'files — every figure arrives over '
@@ -325,7 +328,7 @@ def default_params(**overrides: Any) -> Dict[str, Any]:
         predictions_out='',
         port=8373, serve_max_batch=32, serve_max_delay_ms=5.0,
         serve_detector_weights='', serve_detector_canvas='832,1344',
-        serve_short_edge=800, serve_no_dataset=False,
+        serve_short_edge=800, serve_no_dataset=False, serve_max_figures=512,
     )
     params['continue'] = False
     params.update(overrides)

@@ -317,6 +317,74 @@ def resize_shortest_edge(h: int, w: int, short_edge: int,
             max(1, min(mw, int(w * scale + 0.5))))
 
 
+def parse_canvas(spec) -> Tuple[int, int]:
+    """'N' or 'H,W' -> (H, W), validated against the FPN's /32 strides.
+    Raises ValueError with a user-facing message (CLIs wrap it in
+    p.error; the server maps it to HTTP 400)."""
+    try:
+        dims = [int(x) for x in str(spec).split(",")]
+    except ValueError:
+        raise ValueError(f"canvas must be N or H,W, got {spec!r}")
+    if len(dims) == 1:
+        dims = dims * 2
+    if len(dims) != 2:
+        raise ValueError(f"canvas must be N or H,W, got {spec!r}")
+    if dims[0] % 32 or dims[1] % 32:
+        raise ValueError(f"canvas dims must be multiples of 32 "
+                         f"(FPN strides), got {dims[0]}x{dims[1]}")
+    return dims[0], dims[1]
+
+
+def make_detect_one(detector):
+    """The shared single-image detect closure: ONE backbone/FPN pass
+    yields both the detections and the <IMG> whole-image token feature,
+    pooled over the REAL image extent [0, 0, w, h] (the reference pools
+    the original image box, extract_features.py:54-72 — not the
+    zero-padded canvas).  ``wh`` is the resized image's [h, w].  Used by
+    the extract CLI (vmapped) and the serving ingestor (single image);
+    callers jit it."""
+    import jax.numpy as jnp
+
+    def detect_one(params, image, wh):
+        img_box = jnp.stack([jnp.zeros((), jnp.float32),
+                             jnp.zeros((), jnp.float32),
+                             wh[1], wh[0]])[None, :]
+        out = detector.apply({"params": params}, image, img_box,
+                             method="detect_with_roi_features")
+        img_feat = out.pop("roi_features")
+        return out, img_feat[0]
+
+    return detect_one
+
+
+def detector_from_weights(weights_path: str, *, dataset: str,
+                          num_classes: int, canvas: Tuple[int, int]):
+    """Build + initialize the extraction detector from a weights file,
+    deriving geometry and preprocessing conventions from its layout
+    (detector/convert.py).  ``weights_path='none'`` keeps the random init
+    (smoke/bench).  Returns (model, params, pixel_mean, pixel_std) — the
+    shared setup of the extract CLI and the serving ingestor."""
+    import jax
+    import jax.numpy as jnp
+    from crct_tpu.detector.convert import (detector_file_meta,
+                                           restore_detector_params)
+    from crct_tpu.detector.mask_rcnn import MaskRCNN
+
+    meta = detector_file_meta(weights_path if weights_path != "none" else "")
+    model = MaskRCNN(num_classes=num_classes,
+                     with_mask=dataset == "plotqa",
+                     depth=101 if dataset == "figure_qa" else 50,
+                     stride_in_1x1=meta["stride_in_1x1"])
+    dummy = jnp.zeros((canvas[0], canvas[1], 3), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(
+        jax.random.key(0))
+    params = variables["params"]
+    if weights_path != "none":
+        params, _ = restore_detector_params(params, weights_path)
+    return (model, params, np.asarray(meta["pixel_mean"], np.float32),
+            np.asarray(meta["pixel_std"], np.float32))
+
+
 def batched_detect(detect_batch, params, padded_images, infer_batch: int,
                    *extra_arrays):
     """Dispatch padded [H,W,3] images through a jitted vmapped detector in

@@ -53,38 +53,23 @@ class FigureIngestor:
                  pixel_mean: Optional[np.ndarray] = None,
                  pixel_std: Optional[np.ndarray] = None):
         import jax
-        import jax.numpy as jnp
         from crct_tpu.detector.coco import PIXEL_MEAN, PIXEL_STD
+        from crct_tpu.detector.extract import make_detect_one, parse_canvas
 
-        if canvas[0] % 32 or canvas[1] % 32:
-            raise ValueError(f"canvas dims must be multiples of 32 "
-                             f"(FPN strides), got {canvas}")
+        canvas = parse_canvas(f"{int(canvas[0])},{int(canvas[1])}")
         self.detector = detector
         self.det_params = det_params
         self.dataset = dataset
-        self.canvas = (int(canvas[0]), int(canvas[1]))
+        self.canvas = canvas
         self.short_edge = int(short_edge)
         self.pixel_mean = np.asarray(
             PIXEL_MEAN if pixel_mean is None else pixel_mean, np.float32)
         self.pixel_std = np.asarray(
             PIXEL_STD if pixel_std is None else pixel_std, np.float32)
         self._lock = threading.Lock()
-        self.ingested = 0
-
-        def detect_one(params, image, wh):
-            # one trunk pass: detections + the <IMG> whole-image token
-            # pooled over the REAL image extent [0, 0, w, h] (reference
-            # extract_features.py:54-72 pools the original image box, not
-            # the zero-padded canvas)
-            img_box = jnp.stack([jnp.zeros((), jnp.float32),
-                                 jnp.zeros((), jnp.float32),
-                                 wh[1], wh[0]])[None, :]
-            out = detector.apply({"params": params}, image, img_box,
-                                 method="detect_with_roi_features")
-            img_feat = out.pop("roi_features")
-            return out, img_feat[0]
-
-        self._detect = jax.jit(detect_one)
+        # the extract CLI's exact detect closure (detections + <IMG> token
+        # from one trunk pass), single-image jit: serving is latency-bound
+        self._detect = jax.jit(make_detect_one(detector))
 
     # ------------------------------------------------------------------
     @classmethod
@@ -95,28 +80,13 @@ class FigureIngestor:
         """Production constructor: detector geometry + preprocessing
         conventions derived from the weights file, exactly like the
         extract CLI (cli/extract_features.py)."""
-        import jax
-        import jax.numpy as jnp
-        from crct_tpu.detector.convert import (detector_file_meta,
-                                               restore_detector_params)
-        from crct_tpu.detector.mask_rcnn import MaskRCNN
-
-        meta = detector_file_meta(weights_path if weights_path != "none"
-                                  else "")
-        model = MaskRCNN(num_classes=num_classes,
-                         with_mask=dataset == "plotqa",
-                         depth=101 if dataset == "figure_qa" else 50,
-                         stride_in_1x1=meta["stride_in_1x1"])
-        dummy = jnp.zeros((canvas[0], canvas[1], 3), jnp.float32)
-        variables = jax.jit(lambda r: model.init(r, dummy, train=False))(
-            jax.random.key(0))
-        params = variables["params"]
-        if weights_path != "none":      # "none": random init (smoke/bench)
-            params, _ = restore_detector_params(params, weights_path)
+        from crct_tpu.detector.extract import detector_from_weights
+        model, params, pixel_mean, pixel_std = detector_from_weights(
+            weights_path, dataset=dataset, num_classes=num_classes,
+            canvas=canvas)
         return cls(model, params, dataset=dataset, canvas=canvas,
                    short_edge=short_edge,
-                   pixel_mean=np.asarray(meta["pixel_mean"], np.float32),
-                   pixel_std=np.asarray(meta["pixel_std"], np.float32))
+                   pixel_mean=pixel_mean, pixel_std=pixel_std)
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
@@ -151,6 +121,9 @@ class FigureIngestor:
 
         if ocr_mode is None:
             ocr_mode = "oracle" if annotation is not None else "ocr"
+        if ocr_mode not in ("gt", "oracle", "ocr"):
+            raise IngestError(f"unknown ocr_mode {ocr_mode!r}: expected "
+                              f"'gt', 'oracle' or 'ocr'")
         if ocr_mode in ("gt", "oracle") and annotation is None:
             raise IngestError(f"ocr_mode={ocr_mode!r} needs a chart "
                               f"annotation; supply one or use real OCR")
@@ -205,5 +178,4 @@ class FigureIngestor:
             raise IngestError(
                 "chart yielded no usable record (no text elements "
                 "detected or axes could not be derived)")
-        self.ingested += 1
         return record

@@ -110,8 +110,14 @@ class QAScorer:
 
     def add_figure(self, record: Dict[str, Any]) -> int:
         """Register an ingested feature record; its image_id becomes a
-        servable image_index (overlaying any same-id shard figure)."""
+        servable image_index (overlaying any same-id shard figure).
+        Bounded FIFO: beyond ``serve_max_figures`` (default 512) the
+        oldest ingested record is evicted, so a long-running server's
+        memory stays capped (~a few hundred KB per record)."""
         image_id = int(record["image_id"])
+        cap = max(1, int(self.params.get("serve_max_figures", 512) or 512))
+        while len(self.figs) >= cap and image_id not in self.figs:
+            self.figs.pop(next(iter(self.figs)))   # dicts keep insert order
         self.figs[image_id] = record
         return image_id
 
@@ -131,66 +137,80 @@ class QAScorer:
               top: int = 0) -> List[Dict[str, Any]]:
         ds = self.dataset
         items, opts_list = [], []
-        for qa in qa_pairs:
+        errors: Dict[int, str] = {}
+        pos: Dict[int, int] = {}        # qa index -> row in the batch
+        for i, qa in enumerate(qa_pairs):
             idx = int(qa["image_index"])
-            fig_feat = (self.figs[idx] if idx in self.figs
-                        else ds.get_fig_feat(idx))
+            try:
+                fig_feat = (self.figs[idx] if idx in self.figs
+                            else ds.get_fig_feat(idx))
+            except (KeyError, IndexError, AssertionError):
+                # one unknown id must not poison the coalesced batch: the
+                # other requests still score; this one carries the error
+                errors[i] = f"unknown figure: {idx}"
+                continue
+            pos[i] = len(items)
             items.append(ds.builder.build(
                 fig_feat, qa, split=ds.split, get_all_answers=True,
                 qa_ind=-1, rng=np.random.default_rng(0)))
-            opts_list.append(ds.get_possible_answers(qa["image_index"],
-                                                     fig_feat))
-        batch = collate(items)
-        rows, offsets = _flatten_valid_rows(batch)
-        self._ensure_params(rows)
+            opts_list.append(ds.get_possible_answers(idx, fig_feat))
 
-        nsp_list, reg_list = [], []
-        for piece, valid in _chunk_rows(rows, self.chunk):
-            out = self.eval_step(self.model_params, piece)
-            nsp, reg_out = jax.device_get((out[0], out[1]))  # one fetch
-            nsp_list.append(np.asarray(nsp)[:valid])
-            reg_list.append(np.asarray(reg_out)[:valid])
-            self.dispatches += 1
-        nsp = (np.concatenate(nsp_list) if nsp_list
-               else np.zeros(0, np.float32))
-        reg_out = (np.concatenate(reg_list) if reg_list
+        if items:
+            batch = collate(items)
+            rows, offsets = _flatten_valid_rows(batch)
+            self._ensure_params(rows)
+
+            nsp_list, reg_list = [], []
+            for piece, valid in _chunk_rows(rows, self.chunk):
+                out = self.eval_step(self.model_params, piece)
+                nsp, reg_out = jax.device_get((out[0], out[1]))  # one fetch
+                nsp_list.append(np.asarray(nsp)[:valid])
+                reg_list.append(np.asarray(reg_out)[:valid])
+                self.dispatches += 1
+            nsp = (np.concatenate(nsp_list) if nsp_list
                    else np.zeros(0, np.float32))
+            reg_out = (np.concatenate(reg_list) if reg_list
+                       else np.zeros(0, np.float32))
 
-        B = len(qa_pairs)
-        num_ans = np.asarray(batch["num_ans"]).reshape(-1)
-        needs_reg = (np.asarray(batch["needs_reg"])
-                     .reshape(B, -1)[:, 0].astype(bool))
-        ans_rel = segmented_argmax(nsp, offsets)
-        sel = offsets[:-1] + ans_rel
+            num_ans = np.asarray(batch["num_ans"]).reshape(-1)
+            needs_reg = (np.asarray(batch["needs_reg"])
+                         .reshape(len(items), -1)[:, 0].astype(bool))
+            ans_rel = segmented_argmax(nsp, offsets)
+            sel = offsets[:-1] + ans_rel
 
         recs = []
         for i, qa in enumerate(qa_pairs):
             rec: Dict[str, Any] = {
                 "image_index": int(qa["image_index"]),
                 "question": str(qa.get("question_string", "")),
-                "is_reg": bool(needs_reg[i]),
             }
-            if num_ans[i] == 0:
+            if i in errors:
+                rec.update(error=errors[i], answer=None)
+                recs.append(rec)
+                continue
+            b = pos[i]
+            rec["is_reg"] = bool(needs_reg[b])
+            if num_ans[b] == 0:
                 rec.update(answer=None, cls_output=None, confidence=None)
                 recs.append(rec)
                 continue
-            opts = opts_list[i]
-            ci = int(ans_rel[i])
-            rec["confidence"] = float(nsp[sel[i]])
+            opts = opts_list[b]
+            ci = int(ans_rel[b])
+            rec["confidence"] = float(nsp[sel[b]])
             rec["cls_output"] = str(opts[ci]) if ci < len(opts) else None
-            if needs_reg[i] or rec["cls_output"] == REG_TOKEN:
-                rec["reg_output"] = float(reg_out[sel[i]])
+            if needs_reg[b] or rec["cls_output"] == REG_TOKEN:
+                rec["reg_output"] = float(reg_out[sel[b]])
                 rec["answer"] = rec["reg_output"]
             else:
                 rec["answer"] = rec["cls_output"]
             if top > 0:
-                probs = nsp[offsets[i]:offsets[i + 1]]
+                probs = nsp[offsets[b]:offsets[b + 1]]
                 order = np.argsort(-probs)[:top]
                 rec["top"] = [{"answer": str(opts[j]) if j < len(opts)
                                else None, "confidence": float(probs[j])}
                               for j in map(int, order)]
             recs.append(rec)
-        self.served += B
+        self.served += len(qa_pairs)
         return recs
 
     def warmup(self, qa_pair: Dict[str, Any]) -> None:
@@ -312,6 +332,10 @@ class QAServer(ThreadingHTTPServer):
             raise ValueError("body does not decode as an image")
         if image_id is None:
             with self._ingest_lock:
+                # skip ids a client already claimed explicitly — an auto
+                # id must never overwrite an existing figure
+                while self._next_fig_id in self.scorer.figs:
+                    self._next_fig_id += 1
                 image_id = self._next_fig_id
                 self._next_fig_id += 1
         record = self.ingestor.ingest(im, int(image_id),
@@ -330,7 +354,12 @@ class QAServer(ThreadingHTTPServer):
         return record
 
     def server_close(self) -> None:  # shutdown drains the batcher too
-        self.batcher.close()
+        # socketserver calls server_close from a FAILED __init__ (e.g.
+        # port already bound) before self.batcher is assigned — don't let
+        # an AttributeError mask the real bind error
+        batcher = getattr(self, "batcher", None)
+        if batcher is not None:
+            batcher.close()
         super().server_close()
 
 
@@ -396,6 +425,17 @@ class _Handler(BaseHTTPRequestHandler):
         except IngestError as exc:   # image decoded but yields no record
             self._json(422, {"error": str(exc)})
             return
+        except ValueError:
+            raise                    # -> 400 (bad image / ingest disabled)
+        except Exception as exc:     # noqa: BLE001 — extraction runs over
+            # client-supplied bytes + annotation JSON; malformed input can
+            # fail anywhere in the geometry/OCR pipeline (PIL truncation
+            # OSError, annotation shape TypeError/KeyError/AssertionError).
+            # Surface it as an HTTP error instead of killing the handler
+            # thread with no response.
+            self._json(422, {"error": f"ingestion failed: "
+                                      f"{type(exc).__name__}: {exc}"})
+            return
         opts = self.server.scorer.dataset.get_possible_answers(
             record["image_id"], record)
         self._json(200, {
@@ -419,8 +459,10 @@ class _Handler(BaseHTTPRequestHandler):
                              "dispatches": self.server.scorer.dispatches,
                              "served": self.server.scorer.served})
         elif self.path == "/v1/figures":
+            # list() is atomic under the GIL; sorting the dict view
+            # directly could race concurrent ingest inserts
             self._json(200, {
-                "ingested": sorted(self.server.scorer.figs),
+                "ingested": sorted(list(self.server.scorer.figs)),
                 "ingest_enabled": self.server.ingestor is not None})
         elif (len(parts) == 4 and parts[:2] == ["v1", "figures"]
                 and parts[3] == "questions"):
@@ -444,10 +486,14 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             if self.path == "/v1/answer":
-                self._json(200, self._answer([req])[0])
+                rec = self._answer([req])[0]
+                # per-request scoring errors (unknown figure) are carried
+                # in the rec so they can't poison coalesced batchmates
+                self._json(404 if rec.get("error") else 200, rec)
             elif self.path == "/v1/answers":
                 if not isinstance(req.get("questions"), list):
                     raise ValueError("body must carry a 'questions' list")
+                # batch responses stay 200 with per-item "error" fields
                 self._json(200, {"answers": self._answer(req["questions"])})
             elif self.path == "/v1/figures":
                 self._ingest(req)
@@ -483,13 +529,12 @@ def make_server(params: Dict[str, Any], *, dataset=None, model=None,
                                      init_split=params["eval_set"])
             dataset.get_all_answers = True
     if ingestor is None and params.get("serve_detector_weights"):
+        from crct_tpu.detector.extract import parse_canvas
         from crct_tpu.ingest import FigureIngestor
-        dims = [int(x) for x
-                in str(params["serve_detector_canvas"]).split(",")]
-        canvas = tuple(dims if len(dims) == 2 else dims * 2)
         ingestor = FigureIngestor.from_weights(
             params["serve_detector_weights"], dataset=params["dataset"],
-            num_classes=params["categories"], canvas=canvas,
+            num_classes=params.get("categories") or 228,
+            canvas=parse_canvas(params["serve_detector_canvas"]),
             short_edge=params.get("serve_short_edge", 800))
     scorer = QAScorer(params, dataset, model=model)
     server = QAServer(("", params["port"] if port is None else port), scorer,

@@ -124,6 +124,9 @@ def test_ingest_rejects_bad_inputs(png_env, annotations, ingestor):
     img = _load_png(png_env, 0)
     with pytest.raises(IngestError, match="annotation"):
         ingestor.ingest(img, 0, ocr_mode="oracle")     # no annotation
+    with pytest.raises(IngestError, match="ocr_mode"):
+        ingestor.ingest(img, 0, annotation=annotations[0],
+                        ocr_mode="bogus")
     with pytest.raises(IngestError, match="RGB"):
         ingestor.ingest(np.zeros((8, 8), np.float32), 0,
                         annotation=annotations[0])
@@ -238,3 +241,63 @@ def test_ingest_http_error_paths(live_server, png_env, annotations):
             _post(base + "/v1/figures",
                   {"png_base64": png64, "ocr_mode": "ocr"})
         assert err.value.code == 422
+
+    # malformed client annotation fails AS AN HTTP ERROR, not a dropped
+    # connection (extraction runs over client-supplied JSON)
+    with open(f"{png_env['png_dir']}/0.png", "rb") as f:
+        png64 = base64.b64encode(f.read()).decode()
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(base + "/v1/figures",
+              {"png_base64": png64, "annotation": "not-a-dict",
+               "ocr_mode": "gt"})
+    assert err.value.code == 422
+    assert "ingestion failed" in json.loads(err.value.read())["error"]
+
+    # a truncated image decodes its header but fails mid-pipeline -> 422
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(base + "/v1/figures",
+              {"png_base64": base64.b64encode(
+                  base64.b64decode(png64)[:200]).decode(),
+               "annotation": annotations[0], "ocr_mode": "gt"})
+    assert err.value.code in (400, 422)
+
+
+def test_batch_resilience_and_id_hygiene(live_server, png_env, annotations):
+    """One unknown figure id in a coalesced batch must not fail its
+    batchmates; auto ids never overwrite claimed ids; ingested records
+    are FIFO-capped."""
+    base, server = live_server
+
+    # 777 was ingested by the earlier test; 55555 never was
+    status, body = _post(base + "/v1/answers", {"questions": [
+        {"image_index": 777, "question": "how many bars are there ?"},
+        {"image_index": 55555, "question": "what ?"}]})
+    assert status == 200
+    ok, bad = body["answers"]
+    assert ok["answer"] is not None and "error" not in ok
+    assert "unknown figure" in bad["error"] and bad["answer"] is None
+
+    # claim the next auto id explicitly, then auto-ingest: no overwrite
+    with open(f"{png_env['png_dir']}/1.png", "rb") as f:
+        png64 = base64.b64encode(f.read()).decode()
+    claimed = server._next_fig_id
+    _post(base + "/v1/figures", {"png_base64": png64, "image_id": claimed,
+                                 "annotation": annotations[1],
+                                 "ocr_mode": "gt"})
+    status, body = _post(base + "/v1/figures",
+                         {"png_base64": png64,
+                          "annotation": annotations[1], "ocr_mode": "gt"})
+    assert status == 200 and body["image_index"] > claimed
+    assert claimed in server.scorer.figs
+
+    # FIFO eviction caps resident ingested records
+    server.scorer.params["serve_max_figures"] = 2
+    try:
+        oldest = next(iter(server.scorer.figs))
+        rec = dict(server.scorer.figs[claimed])
+        rec["image_id"] = claimed + 1000
+        server.scorer.add_figure(rec)
+        assert len(server.scorer.figs) == 2
+        assert oldest not in server.scorer.figs
+    finally:
+        server.scorer.params["serve_max_figures"] = 512
