@@ -28,6 +28,13 @@ free-form — the full online PNG->answer composition the reference only
 supports as an offline two-stage pipeline (Detector/extract_features.py
 then CRCT/Interactive_demo.py).
 
+``-fast_scorer`` serves through the light candidate head (ONE backbone
+pass per question instead of the x120 candidate-row fan-out); adding
+``-fast_scorer_topk K`` rescores the K shortlisted candidates with the
+full model — exact full-protocol answers whenever the true answer makes
+the shortlist, including the protocol's candidate-order tie-breaking.
+Requires a checkpoint carrying a trained fast head (cli.train_fast_scorer).
+
 The pred dict mirrors ``-predictions_out`` records (answer, cls_output,
 reg_output, is_reg, confidence; reference Interactive_demo.py:161-247),
 plus an optional ``top`` ranked candidate list.  Unlike the demo REPL's
@@ -94,7 +101,15 @@ class QAScorer:
     ``score`` takes a LIST of qa_pairs and answers them all through shared
     fixed-shape dispatches — the vectorized form of the demo bot's
     single-question ``forward`` (cli/demo.py / reference
-    Interactive_demo.py:161-247)."""
+    Interactive_demo.py:161-247).
+
+    Low-latency serving modes mirror the eval CLI's (-fast_scorer /
+    -fast_scorer_topk): the light candidate head scores every candidate
+    from ONE backbone pass per question instead of the x120 candidate-row
+    fan-out; with topk the full model rescores only the K shortlisted
+    rows (exact full-protocol answers whenever the true answer makes the
+    shortlist). The model (and checkpoint) must carry a trained fast head
+    (cli.train_fast_scorer)."""
 
     def __init__(self, params: Dict[str, Any], dataset: ChartQADataset,
                  model=None):
@@ -103,6 +118,14 @@ class QAScorer:
         self.model = model if model is not None else build_model(params)
         self.eval_step = make_eval_step(self.model)
         self.chunk = resolve_eval_chunk(params)
+        self.fast = bool(params.get("fast_scorer"))
+        self.topk = int(params.get("fast_scorer_topk") or 0) \
+            if self.fast else 0
+        if self.fast:
+            from crct_tpu.train.eval_loop import (
+                make_fast_eval_step, resolve_eval_question_batch)
+            self.fast_step = make_fast_eval_step(self.model)
+            self.qchunk = resolve_eval_question_batch(params)
         self.model_params = None
         self.figs: Dict[int, Dict[str, Any]] = {}   # ingested overlay
         self.dispatches = 0
@@ -121,10 +144,14 @@ class QAScorer:
         self.figs[image_id] = record
         return image_id
 
-    def _ensure_params(self, rows: Dict[str, np.ndarray]) -> None:
+    def _ensure_params(self, rows: Dict[str, np.ndarray],
+                       chunk: int) -> None:
+        # fast mode initializes from fast rows (they carry cand_tokens, so
+        # the init creates the candidate head alongside the backbone; the
+        # rescore path then applies the same tree, ignoring the head)
         if self.model_params is not None:
             return
-        piece, _ = next(_chunk_rows(rows, self.chunk))
+        piece, _ = next(_chunk_rows(rows, chunk))
         variables = jax.jit(lambda r, b: self.model.init(r, b, train=False))(
             {"params": jax.random.key(0)}, piece)
         self.model_params = variables["params"]
@@ -132,6 +159,21 @@ class QAScorer:
             loaded = load_checkpoint(self.params["start_checkpoint"])
             src = loaded.get("model_state_dict", loaded)
             self.model_params, _ = transfer_params(self.model_params, src)
+
+    def _run_rank_chunks(self, rows: Dict[str, np.ndarray]):
+        """Dispatch candidate rows through the full-model eval step in
+        fixed ``self.chunk``-row pieces; ONE host fetch per dispatch."""
+        nsp_list, reg_list = [], []
+        for piece, valid in _chunk_rows(rows, self.chunk):
+            out = self.eval_step(self.model_params, piece)
+            nsp, reg_out = jax.device_get((out[0], out[1]))
+            nsp_list.append(np.asarray(nsp)[:valid])
+            reg_list.append(np.asarray(reg_out)[:valid])
+            self.dispatches += 1
+        return (np.concatenate(nsp_list) if nsp_list
+                else np.zeros(0, np.float32),
+                np.concatenate(reg_list) if reg_list
+                else np.zeros(0, np.float32))
 
     def score(self, qa_pairs: List[Dict[str, Any]],
               top: int = 0) -> List[Dict[str, Any]]:
@@ -155,28 +197,11 @@ class QAScorer:
                 qa_ind=-1, rng=np.random.default_rng(0)))
             opts_list.append(ds.get_possible_answers(idx, fig_feat))
 
+        per_item: List[Dict[str, Any]] = []
         if items:
             batch = collate(items)
-            rows, offsets = _flatten_valid_rows(batch)
-            self._ensure_params(rows)
-
-            nsp_list, reg_list = [], []
-            for piece, valid in _chunk_rows(rows, self.chunk):
-                out = self.eval_step(self.model_params, piece)
-                nsp, reg_out = jax.device_get((out[0], out[1]))  # one fetch
-                nsp_list.append(np.asarray(nsp)[:valid])
-                reg_list.append(np.asarray(reg_out)[:valid])
-                self.dispatches += 1
-            nsp = (np.concatenate(nsp_list) if nsp_list
-                   else np.zeros(0, np.float32))
-            reg_out = (np.concatenate(reg_list) if reg_list
-                       else np.zeros(0, np.float32))
-
-            num_ans = np.asarray(batch["num_ans"]).reshape(-1)
-            needs_reg = (np.asarray(batch["needs_reg"])
-                         .reshape(len(items), -1)[:, 0].astype(bool))
-            ans_rel = segmented_argmax(nsp, offsets)
-            sel = offsets[:-1] + ans_rel
+            per_item = (self._score_fast(batch, top) if self.fast
+                        else self._score_full(batch, top))
 
         recs = []
         for i, qa in enumerate(qa_pairs):
@@ -188,30 +213,134 @@ class QAScorer:
                 rec.update(error=errors[i], answer=None)
                 recs.append(rec)
                 continue
-            b = pos[i]
-            rec["is_reg"] = bool(needs_reg[b])
-            if num_ans[b] == 0:
+            d = per_item[pos[i]]
+            rec["is_reg"] = d["is_reg"]
+            if d["num_ans"] == 0:
                 rec.update(answer=None, cls_output=None, confidence=None)
                 recs.append(rec)
                 continue
-            opts = opts_list[b]
-            ci = int(ans_rel[b])
-            rec["confidence"] = float(nsp[sel[b]])
+            opts = opts_list[pos[i]]
+            ci = d["ci"]
+            rec["confidence"] = d["conf"]
             rec["cls_output"] = str(opts[ci]) if ci < len(opts) else None
-            if needs_reg[b] or rec["cls_output"] == REG_TOKEN:
-                rec["reg_output"] = float(reg_out[sel[b]])
+            if d["is_reg"] or rec["cls_output"] == REG_TOKEN:
+                rec["reg_output"] = d["reg"]
                 rec["answer"] = rec["reg_output"]
             else:
                 rec["answer"] = rec["cls_output"]
             if top > 0:
-                probs = nsp[offsets[b]:offsets[b + 1]]
-                order = np.argsort(-probs)[:top]
                 rec["top"] = [{"answer": str(opts[j]) if j < len(opts)
-                               else None, "confidence": float(probs[j])}
-                              for j in map(int, order)]
+                               else None, "confidence": p}
+                              for j, p in d["top_pairs"][:top]]
             recs.append(rec)
         self.served += len(qa_pairs)
         return recs
+
+    def _score_full(self, batch: Dict[str, Any],
+                    top: int) -> List[Dict[str, Any]]:
+        """Reference protocol: every valid candidate row through the full
+        model, per-question segmented argmax (train/eval_loop.py)."""
+        rows, offsets = _flatten_valid_rows(batch)
+        self._ensure_params(rows, self.chunk)
+        nsp, reg_out = self._run_rank_chunks(rows)
+        num_ans = np.asarray(batch["num_ans"]).reshape(-1)
+        B = len(num_ans)
+        needs_reg = (np.asarray(batch["needs_reg"])
+                     .reshape(B, -1)[:, 0].astype(bool))
+        ans_rel = segmented_argmax(nsp, offsets)
+        sel = offsets[:-1] + ans_rel
+        per = []
+        for b in range(B):
+            d: Dict[str, Any] = {"num_ans": int(num_ans[b]),
+                                 "is_reg": bool(needs_reg[b])}
+            if num_ans[b] > 0:
+                d["ci"] = int(ans_rel[b])
+                d["conf"] = float(nsp[sel[b]])
+                d["reg"] = float(reg_out[sel[b]])
+                if top > 0:
+                    probs = nsp[offsets[b]:offsets[b + 1]]
+                    d["top_pairs"] = [(int(j), float(probs[j])) for j in
+                                      np.argsort(-probs, kind="stable")]
+            per.append(d)
+        return per
+
+    def _score_fast(self, batch: Dict[str, Any],
+                    top: int) -> List[Dict[str, Any]]:
+        """-fast_scorer serving: ONE backbone pass per question scores all
+        candidates through the light head (the eval CLI's fast path,
+        train/eval_loop.py evaluate()); with -fast_scorer_topk the full
+        model rescores only the K shortlisted rows — exact full-protocol
+        answers whenever the true answer makes the shortlist."""
+        from crct_tpu.train.eval_loop import (build_fast_rows,
+                                              shortlist_rescore_rows)
+        frows = build_fast_rows(batch)
+        self._ensure_params(frows, self.qchunk)
+        cand_list, reg_list = [], []
+        for piece, valid in _chunk_rows(frows, self.qchunk):
+            out = self.fast_step(self.model_params, piece)
+            cl, ro = jax.device_get((out[0], out[1]))   # one fetch
+            cand_list.append(np.asarray(cl)[:valid])
+            reg_list.append(np.asarray(ro)[:valid])
+            self.dispatches += 1
+        cand_logits = np.concatenate(cand_list)
+        reg_fast = np.concatenate(reg_list)
+        num_ans = np.asarray(batch["num_ans"]).reshape(-1)
+        B, P = cand_logits.shape
+        needs_reg = (np.asarray(batch["needs_reg"])
+                     .reshape(B, -1)[:, 0].astype(bool))
+        cand_valid = frows["cand_valid"] > 0
+
+        if self.topk:
+            K = min(self.topk, P)
+            top_idx = np.argsort(-cand_logits, axis=1,
+                                 kind="stable")[:, :K]
+            nsp, reg_out = self._run_rank_chunks(
+                shortlist_rescore_rows(batch, top_idx))
+            probs = np.where(
+                np.take_along_axis(cand_valid, top_idx, axis=1),
+                nsp[:B * K].reshape(B, K), -np.inf)
+            per = []
+            for b in range(B):
+                d: Dict[str, Any] = {"num_ans": int(num_ans[b]),
+                                     "is_reg": bool(needs_reg[b])}
+                if num_ans[b] > 0:
+                    # candidate-order tie-breaking, like the full
+                    # protocol's segmented_argmax (first max wins)
+                    corder = np.argsort(top_idx[b], kind="stable")
+                    bk = int(corder[np.argmax(probs[b][corder])])
+                    d["ci"] = int(top_idx[b, bk])
+                    d["conf"] = float(probs[b, bk])
+                    d["reg"] = float(reg_out[b * K + bk])
+                    if top > 0:
+                        row = probs[b][corder]
+                        d["top_pairs"] = [
+                            (int(top_idx[b][corder][k]), float(row[k]))
+                            for k in np.argsort(-row, kind="stable")
+                            if np.isfinite(row[k])]
+                per.append(d)
+            return per
+
+        # fast-only: the head's listwise logits rank candidates; the
+        # regression output comes from the same answer-masked pass (ONE
+        # value per question). confidence = listwise softmax over valid
+        # candidates (NOT the full protocol's per-row NSP probability)
+        per = []
+        for b in range(B):
+            d = {"num_ans": int(num_ans[b]), "is_reg": bool(needs_reg[b])}
+            if num_ans[b] > 0:
+                v = np.where(cand_valid[b], cand_logits[b], -np.inf)
+                e = np.exp(v - v.max())
+                smax = e / max(e.sum(), 1e-30)
+                ci = int(np.argmax(cand_logits[b]))
+                d["ci"] = ci
+                d["conf"] = float(smax[ci])
+                d["reg"] = float(reg_fast[b])
+                if top > 0:
+                    d["top_pairs"] = [(int(j), float(smax[j]))
+                                      for j in np.argsort(-v, kind="stable")
+                                      [:int(num_ans[b])]]
+            per.append(d)
+        return per
 
     def warmup(self, qa_pair: Dict[str, Any]) -> None:
         """Pay the eval-step compile (minutes on a remote-AOT backend)

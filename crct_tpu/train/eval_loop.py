@@ -544,7 +544,14 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
                 best_k = np.argmax(top_idx == gt_id[:, None], axis=1)
                 answers_idx = gt_id.astype(np.int64)
             else:
-                best_k = np.argmax(probs, axis=1)
+                # break prob ties by CANDIDATE index (the full protocol's
+                # segmented_argmax picks the first max in candidate order;
+                # argmax over shortlist order would pick by fast-head rank)
+                corder = np.argsort(top_idx, axis=1, kind="stable")
+                probs_c = np.take_along_axis(probs, corder, axis=1)
+                bk0 = np.argmax(probs_c, axis=1)
+                best_k = np.take_along_axis(corder, bk0[:, None],
+                                            axis=1)[:, 0]
                 answers_idx = np.take_along_axis(
                     top_idx, best_k[:, None], axis=1)[:, 0]
             sel = np.arange(B) * K + best_k

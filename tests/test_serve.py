@@ -236,6 +236,53 @@ def test_cli_flags_build_a_working_server(tmp_path):
         server.server_close()
 
 
+def test_fast_serving_modes(serve_env):
+    """-fast_scorer serving: topk=P rescoring equals the full protocol
+    exactly (same selected answers/confidences); fast-only is deterministic
+    and shaped like the full path's pred dicts."""
+    params, ds, _ = serve_env
+    model_fast = CRCTModel(
+        config=tiny_model_config(vocab_size=30522, v_feature_size=64),
+        categories=params["categories"], fast_scorer=True)
+    qas = list(ds.qa["test"][:4])
+
+    ptop = dict(params, fast_scorer=True, fast_scorer_topk=120)
+    sc_top = QAScorer(ptop, ds, model=model_fast)
+    top_recs = sc_top.score(qas, top=3)
+
+    pfull = dict(params)
+    sc_full = QAScorer(pfull, ds, model=model_fast)
+    sc_full.model_params = sc_top.model_params   # same weights, full fanout
+    full_recs = sc_full.score(qas, top=3)
+
+    for fr, tr in zip(full_recs, top_recs):
+        assert tr["cls_output"] == fr["cls_output"]
+        assert tr["is_reg"] == fr["is_reg"]
+        assert tr["confidence"] == pytest.approx(fr["confidence"], rel=1e-5)
+        if fr["is_reg"]:
+            assert tr["reg_output"] == pytest.approx(fr["reg_output"],
+                                                     rel=1e-5)
+        assert tr["top"][0]["answer"] == fr["top"][0]["answer"]
+
+    pfast = dict(params, fast_scorer=True)
+    sc_fast = QAScorer(pfast, ds, model=model_fast)
+    sc_fast.model_params = sc_top.model_params
+    fast_recs = sc_fast.score(qas, top=2)
+    fast_recs2 = sc_fast.score(qas, top=2)
+    n_q_dispatches = sc_fast.dispatches
+    assert fast_recs == fast_recs2               # deterministic
+    # ONE question-row dispatch per call at this batch (vs the full path's
+    # candidate-row fanout)
+    assert n_q_dispatches == 2
+    for rec, fr in zip(fast_recs, full_recs):
+        assert rec["answer"] is not None
+        assert rec["is_reg"] == fr["is_reg"]
+        assert 0.0 <= rec["confidence"] <= 1.0
+        assert len(rec["top"]) == 2
+        confs = [t["confidence"] for t in rec["top"]]
+        assert confs == sorted(confs, reverse=True)
+
+
 def test_http_error_paths(live_server):
     base, _ = live_server
     for payload, needle in [
