@@ -126,10 +126,28 @@ class QAScorer:
                 make_fast_eval_step, resolve_eval_question_batch)
             self.fast_step = make_fast_eval_step(self.model)
             self.qchunk = resolve_eval_question_batch(params)
+        # local-mesh data parallelism, like evaluate(): dispatch chunks
+        # shard on the row axis across every local chip, params replicate
+        # — one server saturates a multi-chip host
+        from crct_tpu.parallel.mesh import batch_sharding, make_mesh
+        n_local = len(jax.local_devices())
+        self.mesh = (make_mesh(devices=jax.local_devices())
+                     if n_local > 1 else None)
+        if self.mesh is not None:
+            self.chunk = -(-self.chunk // n_local) * n_local
+            if self.fast:
+                self.qchunk = -(-self.qchunk // n_local) * n_local
+            self.row_sharding = batch_sharding(self.mesh)
         self.model_params = None
         self.figs: Dict[int, Dict[str, Any]] = {}   # ingested overlay
         self.dispatches = 0
         self.served = 0
+
+    def _shard(self, piece: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        if self.mesh is None:
+            return piece
+        return {k: jax.device_put(v, self.row_sharding)
+                for k, v in piece.items()}
 
     def add_figure(self, record: Dict[str, Any]) -> int:
         """Register an ingested feature record; its image_id becomes a
@@ -159,13 +177,20 @@ class QAScorer:
             loaded = load_checkpoint(self.params["start_checkpoint"])
             src = loaded.get("model_state_dict", loaded)
             self.model_params, _ = transfer_params(self.model_params, src)
+        if self.mesh is not None:
+            from crct_tpu.parallel.mesh import replicate
+            self.model_params = replicate(self.model_params, self.mesh)
+        else:
+            # checkpoint-restored params arrive as numpy; jit re-transfers
+            # numpy args on EVERY dispatch — pin them on device once
+            self.model_params = jax.device_put(self.model_params)
 
     def _run_rank_chunks(self, rows: Dict[str, np.ndarray]):
         """Dispatch candidate rows through the full-model eval step in
         fixed ``self.chunk``-row pieces; ONE host fetch per dispatch."""
         nsp_list, reg_list = [], []
         for piece, valid in _chunk_rows(rows, self.chunk):
-            out = self.eval_step(self.model_params, piece)
+            out = self.eval_step(self.model_params, self._shard(piece))
             nsp, reg_out = jax.device_get((out[0], out[1]))
             nsp_list.append(np.asarray(nsp)[:valid])
             reg_list.append(np.asarray(reg_out)[:valid])
@@ -277,7 +302,7 @@ class QAScorer:
         self._ensure_params(frows, self.qchunk)
         cand_list, reg_list = [], []
         for piece, valid in _chunk_rows(frows, self.qchunk):
-            out = self.fast_step(self.model_params, piece)
+            out = self.fast_step(self.model_params, self._shard(piece))
             cl, ro = jax.device_get((out[0], out[1]))   # one fetch
             cand_list.append(np.asarray(cl)[:valid])
             reg_list.append(np.asarray(ro)[:valid])

@@ -236,6 +236,30 @@ def test_cli_flags_build_a_working_server(tmp_path):
         server.server_close()
 
 
+def test_serving_shards_over_local_mesh(serve_env, scorer):
+    """Serving dispatches shard row-wise across the local device mesh
+    (conftest forces 8 virtual CPU devices); answers equal a forced
+    single-device scorer's."""
+    import jax
+
+    params, ds, model = serve_env
+    assert scorer.mesh is not None
+    assert scorer.chunk % 8 == 0            # rounded to the device count
+    qas = list(ds.qa["test"][:4])
+    sharded = scorer.score(qas, top=2)
+
+    single = QAScorer(dict(params), ds, model=model)
+    single.mesh = None
+    single.chunk = 64
+    single.model_params = jax.device_get(scorer.model_params)
+    recs = single.score(qas, top=2)
+    for a, b in zip(sharded, recs):
+        assert a["cls_output"] == b["cls_output"]
+        assert a["answer"] == b["answer"] or \
+            a["answer"] == pytest.approx(b["answer"], rel=1e-5)
+        assert a["confidence"] == pytest.approx(b["confidence"], rel=1e-5)
+
+
 def test_fast_serving_modes(serve_env):
     """-fast_scorer serving: topk=P rescoring equals the full protocol
     exactly (same selected answers/confidences); fast-only is deterministic
