@@ -27,3 +27,17 @@ def test_analytic_flops_matches_cost_model():
     xla = train_step_flops()          # CPU-lowers the flagship grad step
     analytic = analytic_train_flops(B=80)
     assert abs(xla - analytic) / xla < 0.05, (xla, analytic)
+
+
+@pytest.mark.slow
+def test_serve_bench_smoke():
+    """tools/serve_bench.py end-to-end on CPU with the tiny model: the
+    live-server load harness completes with zero client errors and the
+    batcher actually coalesces under concurrency."""
+    from tools.serve_bench import main
+    res = main(["--cpu", "--tiny", "--requests", "16", "--threads", "4",
+                "--sequential", "2", "--chunk", "64"])
+    assert res["requests"] == 16
+    assert res["errors"] == []
+    assert res["dispatches"] >= 1
+    assert res["serve_questions_per_sec_per_chip"] > 0
