@@ -162,14 +162,17 @@ class QAScorer:
         self.figs[image_id] = record
         return image_id
 
-    def _ensure_params(self, rows: Dict[str, np.ndarray],
-                       chunk: int) -> None:
+    def _ensure_params(self, rows: Dict[str, np.ndarray]) -> None:
         # fast mode initializes from fast rows (they carry cand_tokens, so
         # the init creates the candidate head alongside the backbone; the
         # rescore path then applies the same tree, ignoring the head)
         if self.model_params is not None:
             return
-        piece, _ = next(_chunk_rows(rows, chunk))
+        # init from a 2-row sample: param shapes are batch-independent and
+        # a full-chunk init would compile (and run) a whole extra
+        # flagship-scale executable just to shape the tree — roughly
+        # doubling server startup on a remote-AOT backend
+        piece, _ = next(_chunk_rows(rows, 2))
         variables = jax.jit(lambda r, b: self.model.init(r, b, train=False))(
             {"params": jax.random.key(0)}, piece)
         self.model_params = variables["params"]
@@ -266,7 +269,7 @@ class QAScorer:
         """Reference protocol: every valid candidate row through the full
         model, per-question segmented argmax (train/eval_loop.py)."""
         rows, offsets = _flatten_valid_rows(batch)
-        self._ensure_params(rows, self.chunk)
+        self._ensure_params(rows)
         nsp, reg_out = self._run_rank_chunks(rows)
         num_ans = np.asarray(batch["num_ans"]).reshape(-1)
         B = len(num_ans)
@@ -299,7 +302,7 @@ class QAScorer:
         from crct_tpu.train.eval_loop import (build_fast_rows,
                                               shortlist_rescore_rows)
         frows = build_fast_rows(batch)
-        self._ensure_params(frows, self.qchunk)
+        self._ensure_params(frows)
         cand_list, reg_list = [], []
         for piece, valid in _chunk_rows(frows, self.qchunk):
             out = self.fast_step(self.model_params, self._shard(piece))
