@@ -120,6 +120,55 @@ def test_ingest_matches_offline_extraction(png_env, annotations, ingestor):
     np.testing.assert_array_equal(rec["vis_bbox"], rec2["vis_bbox"])
 
 
+def test_ingest_resize_path_matches_offline(png_env, annotations, ingestor):
+    """With a short-edge target the image is resized before detection and
+    boxes are scaled back to ORIGINAL coordinates — byte-identical to the
+    extract CLI doing the same (same compiled canvas, so this reuses the
+    module's jitted detector)."""
+    from PIL import Image
+    from crct_tpu.detector.extract import (batched_detect,
+                                           build_feature_record,
+                                           get_gt_texts, get_nonvis_ids,
+                                           inject_img_token, make_detect_one,
+                                           resize_shortest_edge)
+
+    resizing = FigureIngestor(ingestor.detector, ingestor.det_params,
+                              dataset="plotqa", canvas=CANVAS,
+                              short_edge=128)
+    img = _load_png(png_env, 1)
+    rec = resizing.ingest(img, 1, annotation=annotations[1], ocr_mode="gt")
+
+    raw = np.asarray(img, np.float32)
+    h0, w0 = raw.shape[:2]
+    nh, nw = resize_shortest_edge(h0, w0, 128, CANVAS)
+    assert (nh, nw) != (h0, w0)         # the resize actually happened
+    arr = np.asarray(Image.fromarray(raw.astype(np.uint8)).resize(
+        (nw, nh), Image.BILINEAR), np.float32)
+    padded = np.zeros((*CANVAS, 3), np.float32)
+    padded[:nh, :nw] = (arr - resizing.pixel_mean) / resizing.pixel_std
+    detect_batch = jax.jit(jax.vmap(make_detect_one(resizing.detector),
+                                    in_axes=(None, 0, 0)))
+    [(out, img_feat)] = batched_detect(
+        detect_batch, resizing.det_params, [padded], 1,
+        [np.asarray([nh, nw], np.float32)])
+    valid = np.asarray(out["valid"])
+    feats, classes, boxes = inject_img_token(
+        np.asarray(out["features"])[valid],
+        np.asarray(out["classes"])[valid],
+        np.asarray(out["boxes"])[valid] *
+        np.asarray([w0 / nw, h0 / nh, w0 / nw, h0 / nh], np.float32),
+        np.asarray(img_feat), (h0, w0))
+    _, cls_dict = get_nonvis_ids("plotqa")
+    offline = build_feature_record(
+        1, feats, classes, boxes, (h0, w0), dataset="plotqa",
+        gt_texts=get_gt_texts(annotations[1], cls_dict, "plotqa"),
+        ocr_mode="gt")
+    np.testing.assert_array_equal(rec["vis_feat"], offline["vis_feat"])
+    np.testing.assert_array_equal(rec["vis_bbox"], offline["vis_bbox"])
+    np.testing.assert_array_equal(rec["class"], offline["class"])
+    assert (rec["width"], rec["height"]) == (w0, h0)
+
+
 def test_ingest_rejects_bad_inputs(png_env, annotations, ingestor):
     img = _load_png(png_env, 0)
     with pytest.raises(IngestError, match="annotation"):
