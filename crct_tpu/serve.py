@@ -395,8 +395,11 @@ class DynamicBatcher:
         self._score_fn = score_fn
         self._max_batch = max(1, int(max_batch))
         self._max_delay = max(0.0, float(max_delay_ms)) / 1000.0
+        from collections import deque
         self._q: queue.Queue = queue.Queue()
-        self.batch_sizes: List[int] = []
+        # rolling window: observability only, bounded so a long-running
+        # server doesn't grow one int per dispatch forever
+        self.batch_sizes: deque = deque(maxlen=2048)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -463,6 +466,10 @@ class QAServer(ThreadingHTTPServer):
         self._ingest_lock = threading.Lock()
         self._next_fig_id = 10 ** 9       # auto ids clear of dataset ids
         self._qa_warm_kicked = False
+        # rolling serving-latency window (ms, batch-level submit->result);
+        # deque appends are thread-safe under the GIL
+        from collections import deque
+        self.latencies_ms: deque = deque(maxlen=2048)
         self.batcher = DynamicBatcher(scorer.score, max_batch=max_batch,
                                       max_delay_ms=max_delay_ms)
         self.answer_timeout = timeout_s
@@ -603,18 +610,30 @@ class _Handler(BaseHTTPRequestHandler):
                          .get("title", {}).get("text", ""))})
 
     def _answer(self, reqs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        t0 = monotonic()
         futs = [self.server.batcher.submit(self._qa_pair(r),
                                            top=int(r.get("top", 0)))
                 for r in reqs]
-        return [f.result(timeout=self.server.answer_timeout) for f in futs]
+        out = [f.result(timeout=self.server.answer_timeout) for f in futs]
+        self.server.latencies_ms.append((monotonic() - t0) * 1e3)
+        return out
 
     # ---- HTTP verbs ----------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         parts = self.path.strip("/").split("/")
         if self.path == "/healthz":
-            self._json(200, {"status": "ok",
-                             "dispatches": self.server.scorer.dispatches,
-                             "served": self.server.scorer.served})
+            lat = np.asarray(list(self.server.latencies_ms))
+            bs = self.server.batcher.batch_sizes
+            self._json(200, {
+                "status": "ok",
+                "dispatches": self.server.scorer.dispatches,
+                "served": self.server.scorer.served,
+                "latency_ms_p50": round(float(np.percentile(lat, 50)), 1)
+                if len(lat) else None,
+                "latency_ms_p95": round(float(np.percentile(lat, 95)), 1)
+                if len(lat) else None,
+                "mean_coalesced_batch": round(float(np.mean(bs)), 2)
+                if bs else None})
         elif self.path == "/v1/figures":
             # list() is atomic under the GIL; sorting the dict view
             # directly could race concurrent ingest inserts

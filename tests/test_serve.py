@@ -186,7 +186,12 @@ def test_http_end_to_end(live_server, serve_env):
     assert status == 200 and len(body["answers"]) == 3
 
     with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
-        assert json.loads(resp.read())["served"] >= 5
+        health = json.loads(resp.read())
+    assert health["served"] >= 5
+    # serving observability: rolling latency percentiles + batching stats
+    assert health["latency_ms_p50"] > 0
+    assert health["latency_ms_p95"] >= health["latency_ms_p50"]
+    assert health["mean_coalesced_batch"] >= 1
 
 
 def test_cli_flags_build_a_working_server(tmp_path):
