@@ -11,7 +11,9 @@ callers.  No new compiled shapes are introduced by serving: the row chunk
 is the same ``resolve_eval_chunk`` geometry cli.evaluate uses.
 
 Surfaces:
-  GET  /healthz                    -> {"status": "ok", dispatches, served}
+  GET  /healthz                    -> {"status": "ok", dispatches, served,
+                                      latency_ms_p50/p95 (rolling),
+                                      mean_coalesced_batch}
   GET  /v1/figures                 -> ingested figure ids
   GET  /v1/figures/<id>/questions  -> known questions for a figure
   POST /v1/figures                 -> ingest a chart PNG: the detector +
@@ -146,8 +148,8 @@ class QAScorer:
     def _shard(self, piece: Dict[str, np.ndarray]) -> Dict[str, Any]:
         if self.mesh is None:
             return piece
-        return {k: jax.device_put(v, self.row_sharding)
-                for k, v in piece.items()}
+        from crct_tpu.parallel.mesh import shard_batch
+        return shard_batch(piece, self.mesh)
 
     def add_figure(self, record: Dict[str, Any]) -> int:
         """Register an ingested feature record; its image_id becomes a
@@ -168,6 +170,8 @@ class QAScorer:
         # rescore path then applies the same tree, ignoring the head)
         if self.model_params is not None:
             return
+        if not rows or len(next(iter(rows.values()))) == 0:
+            return    # zero scoreable rows: nothing dispatches; defer init
         # init from a 2-row sample: param shapes are batch-independent and
         # a full-chunk init would compile (and run) a whole extra
         # flagship-scale executable just to shape the tree — roughly
@@ -188,19 +192,23 @@ class QAScorer:
             # numpy args on EVERY dispatch — pin them on device once
             self.model_params = jax.device_put(self.model_params)
 
-    def _run_rank_chunks(self, rows: Dict[str, np.ndarray]):
-        """Dispatch candidate rows through the full-model eval step in
-        fixed ``self.chunk``-row pieces; ONE host fetch per dispatch."""
-        nsp_list, reg_list = [], []
-        for piece, valid in _chunk_rows(rows, self.chunk):
-            out = self.eval_step(self.model_params, self._shard(piece))
-            nsp, reg_out = jax.device_get((out[0], out[1]))
-            nsp_list.append(np.asarray(nsp)[:valid])
-            reg_list.append(np.asarray(reg_out)[:valid])
+    def _run_chunks(self, rows: Dict[str, np.ndarray], step=None,
+                    chunk: int = 0):
+        """Dispatch rows through a jitted step (default: the full-model
+        eval step at ``self.chunk`` rows) in fixed-size pieces; ONE host
+        fetch per dispatch. Returns the first two outputs, trimmed and
+        concatenated."""
+        step = step or self.eval_step
+        a_list, b_list = [], []
+        for piece, valid in _chunk_rows(rows, chunk or self.chunk):
+            out = step(self.model_params, self._shard(piece))
+            a, b = jax.device_get((out[0], out[1]))
+            a_list.append(np.asarray(a)[:valid])
+            b_list.append(np.asarray(b)[:valid])
             self.dispatches += 1
-        return (np.concatenate(nsp_list) if nsp_list
+        return (np.concatenate(a_list) if a_list
                 else np.zeros(0, np.float32),
-                np.concatenate(reg_list) if reg_list
+                np.concatenate(b_list) if b_list
                 else np.zeros(0, np.float32))
 
     def score(self, qa_pairs: List[Dict[str, Any]],
@@ -270,7 +278,7 @@ class QAScorer:
         model, per-question segmented argmax (train/eval_loop.py)."""
         rows, offsets = _flatten_valid_rows(batch)
         self._ensure_params(rows)
-        nsp, reg_out = self._run_rank_chunks(rows)
+        nsp, reg_out = self._run_chunks(rows)
         num_ans = np.asarray(batch["num_ans"]).reshape(-1)
         B = len(num_ans)
         needs_reg = (np.asarray(batch["needs_reg"])
@@ -303,15 +311,8 @@ class QAScorer:
                                               shortlist_rescore_rows)
         frows = build_fast_rows(batch)
         self._ensure_params(frows)
-        cand_list, reg_list = [], []
-        for piece, valid in _chunk_rows(frows, self.qchunk):
-            out = self.fast_step(self.model_params, self._shard(piece))
-            cl, ro = jax.device_get((out[0], out[1]))   # one fetch
-            cand_list.append(np.asarray(cl)[:valid])
-            reg_list.append(np.asarray(ro)[:valid])
-            self.dispatches += 1
-        cand_logits = np.concatenate(cand_list)
-        reg_fast = np.concatenate(reg_list)
+        cand_logits, reg_fast = self._run_chunks(frows, step=self.fast_step,
+                                                 chunk=self.qchunk)
         num_ans = np.asarray(batch["num_ans"]).reshape(-1)
         B, P = cand_logits.shape
         needs_reg = (np.asarray(batch["needs_reg"])
@@ -322,7 +323,7 @@ class QAScorer:
             K = min(self.topk, P)
             top_idx = np.argsort(-cand_logits, axis=1,
                                  kind="stable")[:, :K]
-            nsp, reg_out = self._run_rank_chunks(
+            nsp, reg_out = self._run_chunks(
                 shortlist_rescore_rows(batch, top_idx))
             probs = np.where(
                 np.take_along_axis(cand_valid, top_idx, axis=1),
@@ -331,7 +332,13 @@ class QAScorer:
             for b in range(B):
                 d: Dict[str, Any] = {"num_ans": int(num_ans[b]),
                                      "is_reg": bool(needs_reg[b])}
-                if num_ans[b] > 0:
+                if not np.isfinite(probs[b]).any():
+                    # no valid candidate made the shortlist (can't happen
+                    # through the head's -1e9 invalid masking, but a NaN
+                    # logit from a broken checkpoint could): serve the
+                    # no-scoreable-candidates record, not -Infinity JSON
+                    d["num_ans"] = 0
+                elif num_ans[b] > 0:
                     # candidate-order tie-breaking, like the full
                     # protocol's segmented_argmax (first max wins)
                     corder = np.argsort(top_idx[b], kind="stable")
@@ -359,7 +366,10 @@ class QAScorer:
                 v = np.where(cand_valid[b], cand_logits[b], -np.inf)
                 e = np.exp(v - v.max())
                 smax = e / max(e.sum(), 1e-30)
-                ci = int(np.argmax(cand_logits[b]))
+                # masked argmax: identical to evaluate()'s raw argmax for
+                # any real head output (invalid slots carry -1e9), but can
+                # never select a padding candidate
+                ci = int(np.argmax(v))
                 d["ci"] = ci
                 d["conf"] = float(smax[ci])
                 d["reg"] = float(reg_fast[b])
@@ -677,6 +687,11 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(404, {"error": f"unknown path {self.path}"})
         except ValueError as exc:
             self._json(400, {"error": str(exc)})
+        except (TypeError, AttributeError) as exc:
+            # wrong field TYPES in the JSON body (image_index: null,
+            # questions: [42], top: {}) — a malformed request, not a
+            # server error: answer 400 instead of dropping the connection
+            self._json(400, {"error": f"malformed request: {exc}"})
         except KeyError as exc:  # unknown image id in the feature shards
             self._json(404, {"error": f"unknown figure: {exc}"})
         except FuturesTimeout:

@@ -134,13 +134,17 @@ def main(argv=None):
     latencies: list = []
     errors: list = []
     lock = threading.Lock()
-    per_thread = args.requests // args.threads
+    # distribute the remainder so exactly --requests requests are issued
+    counts = [args.requests // args.threads +
+              (1 if t < args.requests % args.threads else 0)
+              for t in range(args.threads)]
+    starts = list(np.cumsum([0] + counts[:-1]))
 
     def worker(tid: int) -> None:
         mine = []
         try:
-            for i in range(per_thread):
-                img, qi = qas[(tid * per_thread + i) % len(qas)]
+            for i in range(counts[tid]):
+                img, qi = qas[(starts[tid] + i) % len(qas)]
                 t = time.perf_counter()
                 rec = _post(base, {"image_index": img, "question_id": qi})
                 mine.append((time.perf_counter() - t) * 1e3)
@@ -162,13 +166,17 @@ def main(argv=None):
     wall = time.perf_counter() - t_wall
 
     n = len(latencies)
-    lat = np.asarray(latencies) if latencies else np.zeros(1)
+    if n == 0:
+        errors.append("no requests completed — percentiles unavailable")
+    lat = np.asarray(latencies) if latencies else np.full(1, np.nan)
     batch_sizes = server.batcher.batch_sizes
     n_chips = max(1, len(jax.local_devices())) if not args.cpu else 1
     result = {
         "serve_questions_per_sec_per_chip": round(n / wall / n_chips, 1),
-        "latency_ms_p50": round(float(np.percentile(lat, 50)), 1),
-        "latency_ms_p95": round(float(np.percentile(lat, 95)), 1),
+        "latency_ms_p50": round(float(np.percentile(lat, 50)), 1)
+        if n else None,
+        "latency_ms_p95": round(float(np.percentile(lat, 95)), 1)
+        if n else None,
         "sequential_latency_ms_p50":
             round(float(np.percentile(np.asarray(seq_lat), 50)), 1)
             if seq_lat else None,
