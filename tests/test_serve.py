@@ -312,6 +312,64 @@ def test_fast_serving_modes(serve_env):
         assert confs == sorted(confs, reverse=True)
 
 
+def test_serving_matches_predictions_out(tmp_path):
+    """The HTTP scorer's pred dicts equal the eval CLI's -predictions_out
+    records for the same questions and weights (both init from key(0), so
+    no checkpoint is needed) — serving and batch answering are the same
+    answers through two surfaces."""
+    from crct_tpu.cli.evaluate import main as eval_main
+    from crct_tpu.config import read_command_line
+    from crct_tpu.data.example_builder import REG_TOKEN
+
+    cfg = generate_dataset(str(tmp_path / "data"), n_images=4, division=4,
+                           n_questions=3, feat_dim=64)
+    tiny = {"vocab_size": 30522, "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "intermediate_size": 128,
+            "v_feature_size": 64, "v_hidden_size": 32,
+            "v_num_hidden_layers": 1, "v_num_attention_heads": 2,
+            "v_intermediate_size": 32, "bi_hidden_size": 32,
+            "bi_num_attention_heads": 4, "v_biattention_id": [0],
+            "t_biattention_id": [1], "max_position_embeddings": 512,
+            "plotqa_vocab_types": 12, "pooling_method": "mul"}
+    with open(tmp_path / "tiny_model.json", "w") as f:
+        json.dump(tiny, f)
+    cfg.update(model_config=str(tmp_path / "tiny_model.json"),
+               main_folder=str(tmp_path) + "/", save_path="results/",
+               tensorboard="", checkpoints_dir="results/")
+    with open(tmp_path / "ds.json", "w") as f:
+        json.dump(cfg, f)
+    argv = ["-qa_file", "qa_pairs.npy", "-dataset_config",
+            str(tmp_path / "ds.json"), "-eval_set", "test",
+            "-save_name", "po", "-eval_batch_size", "32",
+            "-num_workers", "1",
+            "-predictions_out", str(tmp_path / "preds.jsonl")]
+    eval_main(argv)
+    with open(tmp_path / "preds.jsonl") as f:
+        preds = [json.loads(line) for line in f]
+    assert len(preds) == 12
+
+    params = read_command_line(argv)
+    ds = ChartQADataset(params, "test", init_split="test")
+    ds.get_all_answers = True
+    scorer = QAScorer(params, ds)
+    recs = scorer.score([dict(ds.get_raw(p["question_id"]))
+                         for p in preds])
+    for p, r in zip(preds, recs):
+        assert r["cls_output"] == p["cls_output"]
+        assert r["is_reg"] == p["is_reg"]
+        if p["confidence"] is not None:
+            assert r["confidence"] == pytest.approx(p["confidence"],
+                                                    rel=1e-5)
+        if p["is_reg"] and p.get("reg_output") is not None:
+            assert r["reg_output"] == pytest.approx(p["reg_output"],
+                                                    rel=1e-5)
+        if r["cls_output"] != REG_TOKEN:
+            # (a non-reg question whose argmax is the REG token answers
+            # the regression value on the demo/serving surface and the
+            # token string in the eval protocol — everything else matches)
+            assert str(r["answer"]) == str(p["answer"])
+
+
 def test_http_error_paths(live_server):
     base, _ = live_server
     for payload, needle in [
