@@ -184,6 +184,16 @@ class QAScorer:
             loaded = load_checkpoint(self.params["start_checkpoint"])
             src = loaded.get("model_state_dict", loaded)
             self.model_params, _ = transfer_params(self.model_params, src)
+            if self.fast:
+                import jax.tree_util as jtu
+                has_head = any(
+                    "fast_scorer" in jtu.keystr(p) for p, _ in
+                    jtu.tree_flatten_with_path(src)[0])
+                if not has_head:
+                    print("WARNING: -fast_scorer serving, but the "
+                          "checkpoint carries no fast_scorer head — the "
+                          "shortlist head is RANDOM. Train one with "
+                          "cli.train_fast_scorer first.", flush=True)
         if self.mesh is not None:
             from crct_tpu.parallel.mesh import replicate
             self.model_params = replicate(self.model_params, self.mesh)
