@@ -244,6 +244,11 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
                              'files — every figure arrives over '
                              'POST /v1/figures (requires '
                              '-serve_detector_weights)')
+    parser.add_argument('-no_nan_guard', action='store_true',
+                        help='disable the train-loop failure detector '
+                             '(non-finite loss halts training with a '
+                             'diagnostic checkpoint; the reference trains '
+                             'on through NaNs silently)')
     parser.add_argument('-rng_impl', type=str, default='rbg',
                         choices=['rbg', 'threefry2x32'],
                         help='dropout PRNG (rbg is ~40%% faster on TPU)')
@@ -323,7 +328,7 @@ def default_params(**overrides: Any) -> Dict[str, Any]:
         dataset_config={}, max_vis_features=44, splits=['train', 'val', 'test'],
         dvqa_floats=list(DVQA_FLOATS), vocab_file='', bf16=False, pallas=False,
         mesh_shape='', dist_url='', profile=False, rng_impl='rbg',
-        opt_bf16_m=False,
+        opt_bf16_m=False, no_nan_guard=False,
         fast_scorer=False, fast_scorer_topk=0, fs_steps=2000, fs_lr=1e-3,
         predictions_out='',
         port=8373, serve_max_batch=32, serve_max_delay_ms=5.0,

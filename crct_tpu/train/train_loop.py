@@ -225,6 +225,28 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
             metrics = np.asarray(device_metrics)
             (total_loss, lm_loss, nsp_loss, reg_loss, reg_5_dist, leg_loss,
              num_regs, reg_5_right, reg_t_right) = metrics
+            if not params_dict.get("no_nan_guard") and \
+                    not np.isfinite(total_loss):
+                # failure detection (beyond-reference; the reference trains
+                # on through NaNs silently): params are already polluted by
+                # this update — freeze the blown state for diagnosis and
+                # stop instead of burning the rest of the run
+                diag = "the rank-0 host"
+                if jax.process_index() == 0:
+                    os.makedirs(params_dict["save_path"], exist_ok=True)
+                    diag = os.path.join(
+                        params_dict["save_path"],
+                        f"NANDIAG_step{trainer.step}.ckpt")
+                    save_checkpoint(diag, jax.device_get(trainer.params),
+                                    jax.device_get(trainer.opt_state),
+                                    trainer.step)
+                raise RuntimeError(
+                    f"non-finite loss {total_loss!r} at step {trainer.step} "
+                    f"(epoch {epoch_id}, iter {iter_id}): training halted "
+                    f"by the NaN guard. Blown state saved to {diag} for "
+                    f"diagnosis; restart from the last epoch checkpoint "
+                    f"with -continue, or lower the lr. (-no_nan_guard "
+                    f"disables this check.)")
             loss_hist.append((reg_loss, nsp_loss))
             if need_tb:
                 tb_writer.add_scalar("Loss/Total Loss", total_loss, trainer.step)

@@ -325,3 +325,43 @@ def test_training_learns_retrieval_task(tmp_path):
         f"fast-scorer val accuracy {acc_fast:.3f} (chance {chance:.3f})"
     assert acc_topk >= 0.10 and acc_topk > 2 * chance, \
         f"topk8 rescore val accuracy {acc_topk:.3f} (chance {chance:.3f})"
+
+
+def test_nan_guard_halts_with_diagnostic(tmp_path):
+    """Failure detection (beyond-reference): a non-finite loss halts
+    training with a clear error and freezes the blown state in a
+    diagnostic checkpoint instead of silently training on through NaNs
+    (the reference has no such guard)."""
+    import glob as _glob
+    import json as _json
+
+    params = synthetic_params(tmp_path, n_images=8, division=8,
+                              n_questions=2, feat_dim=32,
+                              batch_size=8, num_workers=1, num_epochs=1,
+                              no_eval=True)
+    with open(tmp_path / "tiny.json", "w") as f:
+        _json.dump(dict(tiny_model_config(v_feature_size=32).__dict__,
+                        use_pallas_attention=False), f, default=str)
+    params["model_config"] = str(tmp_path / "tiny.json")
+
+    # poison every training feature record -> first-step loss is NaN
+    for fpath in _glob.glob(params["figure_feat_path"] + "train/*.npy"):
+        shard = np.load(fpath, allow_pickle=True)
+        for rec in shard:
+            rec["vis_feat"] = np.full_like(rec["vis_feat"], np.nan)
+        np.save(fpath, shard, allow_pickle=True)
+
+    from crct_tpu.train.train_loop import run_training
+    ds = ChartQADataset(params, ["train"])
+    with pytest.raises(RuntimeError, match="NaN guard"):
+        run_training(params, ds)
+    diags = _glob.glob(str(tmp_path / "results" / "NANDIAG_step*.ckpt"))
+    assert len(diags) == 1
+    from crct_tpu.utils.checkpoint import load_checkpoint
+    loaded = load_checkpoint(diags[0])
+    assert "model_state_dict" in loaded
+
+    # -no_nan_guard restores the reference's train-through behavior
+    params["no_nan_guard"] = True
+    ds2 = ChartQADataset(params, ["train"])
+    run_training(params, ds2)
