@@ -204,10 +204,42 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
     start_t = timer()                      # points, for the run-mean display
 
     profile_dir = os.path.join(params_dict["save_path"], "profile")
+
+    # preemption-safe checkpointing (beyond-reference): SIGTERM — the
+    # signal preemptible TPU VMs get — requests a graceful stop; the loop
+    # saves a resumable checkpoint at the next step boundary and returns.
+    # The save carries epoch_id-1 in its name so `-continue` re-runs the
+    # interrupted epoch from its (deterministically reshuffled) start.
+    stop_requested = []
+    prev_handler = None
+    try:
+        import signal
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda *_: stop_requested.append(True))
+    except ValueError:     # not the main thread (e.g. threaded tests)
+        pass
+
+    def _preempt_save(epoch_id: int) -> None:
+        if jax.process_index() == 0:
+            pd = params_dict
+            os.makedirs(pd["save_path"], exist_ok=True)
+            path = os.path.join(
+                pd["save_path"], checkpoint_name(epoch_id - 1, trainer.step))
+            save_checkpoint(path, jax.device_get(trainer.params),
+                            jax.device_get(trainer.opt_state), trainer.step)
+            log_line(pd, f"SIGTERM: saved preemption checkpoint {path}; "
+                         f"resume with -continue -start_checkpoint {path}")
+
     for epoch_id in range(trainer.start_epoch, params_dict["num_epochs"]):
         loader.set_epoch(epoch_id)
         epoch_time = time.time()
         for iter_id, batch in enumerate(loader):
+            if stop_requested:
+                _preempt_save(epoch_id)
+                if prev_handler is not None:
+                    import signal
+                    signal.signal(signal.SIGTERM, prev_handler)
+                return trainer
             # first-class step tracing (the reference had only ad-hoc
             # wall-clock timers, SURVEY.md §5)
             if params_dict.get("profile") and trainer.step == 10:
@@ -300,6 +332,9 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
             log_line(params_dict,
                      f"     -> Eval time: {round(time.time() - t0, 2)}")
             dataset.split = "train"
+    if prev_handler is not None:
+        import signal
+        signal.signal(signal.SIGTERM, prev_handler)
     return trainer
 
 

@@ -91,3 +91,53 @@ def test_train_then_evaluate_cli_roundtrip(cli_env, capsys):
         assert "Done Ids:" in out
     finally:
         os.chdir(cwd)
+
+
+def test_sigterm_preemption_checkpoint(cli_env):
+    """Preemption-safe training (beyond-reference): SIGTERM mid-epoch
+    saves a resumable checkpoint at the next step boundary and exits
+    cleanly; the saved name resumes the interrupted epoch."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    driver = cli_env / "sigterm_driver.py"
+    driver.write_text(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from crct_tpu.cli.train import main\n"
+        f"main(['-qa_file', 'qa_pairs.npy', '-dataset_config',"
+        f" {str(cli_env / 'ds.json')!r}, '-batch_size', '4',"
+        " '-num_epochs', '50', '-num_workers', '1',"
+        " '-save_name', 'sig', '-no_eval'])\n")
+    proc = subprocess.Popen(
+        [sys.executable, str(driver)], stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+        env={**os.environ, "PYTHONPATH": "/root/repo:"
+             + os.environ.get("PYTHONPATH", "")})
+    lines = []
+    try:
+        # first "[Ep:" progress line = the loop is past step 0
+        deadline = time.time() + 300
+        for line in proc.stdout:
+            lines.append(line)
+            if "[Ep:" in line:
+                break
+            assert time.time() < deadline, "".join(lines)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+        lines.append(out)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    full = "".join(lines)
+    assert proc.returncode == 0, full
+    assert "saved preemption checkpoint" in full
+    import glob
+    from crct_tpu.utils.checkpoint import epoch_from_name, load_checkpoint
+    cks = glob.glob(str(cli_env / "results" / "sig" / "*.ckpt"))
+    assert len(cks) == 1
+    # epoch-1 naming: -continue re-runs the interrupted epoch (epoch 0)
+    assert epoch_from_name(cks[0]) + 1 == 0
+    assert "model_state_dict" in load_checkpoint(cks[0])
