@@ -34,12 +34,25 @@ def main(argv=None):
           f"max_delay={params['serve_max_delay_ms']}ms). "
           f"POST /v1/answer | POST /v1/answers | GET /healthz{ingest}",
           flush=True)
+    # containerized deploys stop with SIGTERM: drain the batcher and close
+    # the socket instead of dying mid-dispatch
+    import signal
+    import threading
+
+    def _graceful(*_):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _graceful)
+    except ValueError:          # not the main thread
+        pass
     try:
         server.serve_forever()
     except KeyboardInterrupt:  # pragma: no cover - interactive
         pass
     finally:
         server.server_close()
+        print("Server stopped.", flush=True)
 
 
 if __name__ == "__main__":
