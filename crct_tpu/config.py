@@ -244,6 +244,10 @@ def read_command_line(argv: Optional[Sequence[str]] = None) -> Dict[str, Any]:
                              'files — every figure arrives over '
                              'POST /v1/figures (requires '
                              '-serve_detector_weights)')
+    parser.add_argument('-max_checkpoints', type=int, default=0,
+                        help='keep only the newest K epoch checkpoints '
+                             '(0 = keep all, the reference behavior; at '
+                             'flagship scale each is ~1.3 GB)')
     parser.add_argument('-no_nan_guard', action='store_true',
                         help='disable the train-loop failure detector '
                              '(non-finite loss halts training with a '
@@ -328,7 +332,7 @@ def default_params(**overrides: Any) -> Dict[str, Any]:
         dataset_config={}, max_vis_features=44, splits=['train', 'val', 'test'],
         dvqa_floats=list(DVQA_FLOATS), vocab_file='', bf16=False, pallas=False,
         mesh_shape='', dist_url='', profile=False, rng_impl='rbg',
-        opt_bf16_m=False, no_nan_guard=False,
+        opt_bf16_m=False, no_nan_guard=False, max_checkpoints=0,
         fast_scorer=False, fast_scorer_topk=0, fs_steps=2000, fs_lr=1e-3,
         predictions_out='',
         port=8373, serve_max_batch=32, serve_max_delay_ms=5.0,

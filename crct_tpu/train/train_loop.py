@@ -150,6 +150,20 @@ class Trainer:
         path = os.path.join(pd["save_path"], checkpoint_name(epoch, self.step))
         save_checkpoint(path, jax.device_get(self.params),
                         jax.device_get(self.opt_state), self.step)
+        keep = int(pd.get("max_checkpoints") or 0)
+        if keep > 0:
+            # opt-in retention: drop the oldest epoch checkpoints beyond
+            # the newest `keep` (the reference keeps every epoch, which at
+            # flagship scale is ~1.3 GB x 20 epochs per run)
+            import glob as _glob
+            import shutil
+            cks = sorted(_glob.glob(os.path.join(
+                pd["save_path"], "plotqa_encoder_*.ckpt")),
+                key=epoch_from_name)
+            for old in cks[:-keep]:
+                shutil.rmtree(old, ignore_errors=True)   # orbax ckpt = dir
+                if os.path.isfile(old):
+                    os.remove(old)
         return path
 
 

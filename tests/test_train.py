@@ -365,3 +365,29 @@ def test_nan_guard_halts_with_diagnostic(tmp_path):
     params["no_nan_guard"] = True
     ds2 = ChartQADataset(params, ["train"])
     run_training(params, ds2)
+
+
+def test_max_checkpoints_retention(tmp_path):
+    """-max_checkpoints K keeps only the newest K epoch checkpoints
+    (0/default keeps all, the reference behavior)."""
+    import glob as _glob
+
+    params = synthetic_params(tmp_path, n_images=8, division=4,
+                              n_questions=2, feat_dim=32,
+                              batch_size=8, num_workers=1,
+                              max_checkpoints=2)
+    cfg = tiny_model_config(v_feature_size=32)
+    ds = ChartQADataset(params, ["train"])
+    ds.split = "train"
+    loader = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1)
+    sample = next(iter(loader))
+    from crct_tpu.models.crct import CRCTModel
+    model = CRCTModel(config=cfg, categories=params["categories"])
+    trainer = Trainer(params, model, sample, iters_per_epoch=len(loader))
+    for epoch in range(3):
+        trainer.step += 1
+        trainer.save(epoch)
+    from crct_tpu.utils.checkpoint import epoch_from_name
+    cks = sorted(_glob.glob(str(tmp_path / "results" /
+                                "plotqa_encoder_*.ckpt")))
+    assert sorted(epoch_from_name(c) for c in cks) == [1, 2]
