@@ -50,6 +50,11 @@ def main(argv=None):
                    help="bfloat16 activations in the backbone/heads (box "
                         "decoding and losses stay f32); the reference "
                         "recipe is fp32 — opt-in throughput trade")
+    p.add_argument("--depth", type=int, default=0,
+                   choices=[0, 14, 50, 101],
+                   help="ResNet trunk depth override (default 0 = the "
+                        "dataset rule: R101 for figure_qa, R50 otherwise; "
+                        "14 = tiny trunk for CPU smoke/proof runs)")
     p.add_argument("--no-augment", action="store_true",
                    help="disable train-time random hflip + multi-scale "
                         "shortest-edge sampling (on by default, matching "
@@ -62,7 +67,7 @@ def main(argv=None):
     from crct_tpu.utils.checkpoint import save_checkpoint
 
     with_mask = args.dataset == "plotqa"
-    depth = 101 if args.dataset == "figure_qa" else 50
+    depth = args.depth or (101 if args.dataset == "figure_qa" else 50)
     # stride convention AND pixel normalization follow the weights file's
     # layout (Detectron2 model-zoo = Caffe2 stride-in-1x1 + mean-only BGR
     # stats folded to RGB by the converter; torchvision = stride-on-3x3 +

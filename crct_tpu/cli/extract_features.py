@@ -51,6 +51,10 @@ def main(argv=None):
                         "downscaled to fit rather than cropped).")
     p.add_argument('--infer-batch', type=int, default=8,
                    help="images per device dispatch (vmapped detector)")
+    p.add_argument('--depth', type=int, default=0, choices=[0, 14, 50, 101],
+                   help="ResNet trunk depth override — must match the "
+                        "checkpoint being loaded (default 0 = the dataset "
+                        "rule: R101 for figure_qa, R50 otherwise)")
     args = p.parse_args(argv)
     if args.dataset == 'dvqa' and args.ocr_gt:
         p.error("dvqa does not support --ocr-gt: DVQA GT annotations have "
@@ -83,7 +87,8 @@ def main(argv=None):
     # mask branch is skipped by detect_with_roi_features
     model, params, pixel_mean, pixel_std = detector_from_weights(
         args.load_weights, dataset=args.dataset,
-        num_classes=args.num_classes, canvas=(canvas_h, canvas_w))
+        num_classes=args.num_classes, canvas=(canvas_h, canvas_w),
+        depth=args.depth)
 
     # batched inference: vmap over images, one device dispatch per
     # --infer-batch (the reference runs Detectron2 image-by-image;

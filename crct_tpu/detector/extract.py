@@ -358,7 +358,8 @@ def make_detect_one(detector):
 
 
 def detector_from_weights(weights_path: str, *, dataset: str,
-                          num_classes: int, canvas: Tuple[int, int]):
+                          num_classes: int, canvas: Tuple[int, int],
+                          depth: int = 0):
     """Build + initialize the extraction detector from a weights file,
     deriving geometry and preprocessing conventions from its layout
     (detector/convert.py).  ``weights_path='none'`` keeps the random init
@@ -373,7 +374,7 @@ def detector_from_weights(weights_path: str, *, dataset: str,
     meta = detector_file_meta(weights_path if weights_path != "none" else "")
     model = MaskRCNN(num_classes=num_classes,
                      with_mask=dataset == "plotqa",
-                     depth=101 if dataset == "figure_qa" else 50,
+                     depth=depth or (101 if dataset == "figure_qa" else 50),
                      stride_in_1x1=meta["stride_in_1x1"])
     dummy = jnp.zeros((canvas[0], canvas[1], 3), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, dummy, train=False))(

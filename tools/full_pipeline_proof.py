@@ -1,0 +1,177 @@
+"""Pixels -> accuracy, end to end, with LEARNING in both stages.
+
+Chains the four CLIs exactly as docs/REPRODUCE.md prescribes, on
+synthetic charts — no external data, runs on one CPU box:
+
+  1. render chart PNGs + plotqa-schema annotations + QA pairs
+     (detector/synthetic_charts.py)
+  2. `cli.detector_train` — train Mask R-CNN on the charts' COCO boxes
+  3. `cli.extract_features` — trained-detector visual features + GT-text
+     oracle -> `.npy` feature shards (the reference's offline layout)
+  4. `cli.train` — train the CRCT QA model on the extracted features
+  5. `cli.evaluate` — held-out-split accuracy table
+
+The QA answers (bar counts, per-category values) are only recoverable
+from what the DETECTOR found, so above-chance held-out accuracy is an
+end-to-end proof that the whole two-stage pipeline learns from raw
+pixels. Complements the feature-level learnable-task test
+(tests/test_train.py::test_training_learns_retrieval_task) by putting
+the real detector + extraction in the loop.
+
+Prints ONE JSON line with the held-out accuracy vs chance.
+
+Usage: python tools/full_pipeline_proof.py [--fast]   (--fast = smoke
+sizes; the default takes ~60-90 min on a 1-core box)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TINY_MODEL = {
+    "vocab_size": 30522, "hidden_size": 64, "num_hidden_layers": 4,
+    "num_attention_heads": 4, "intermediate_size": 128,
+    "v_feature_size": 1024, "v_hidden_size": 32, "v_num_hidden_layers": 2,
+    "v_num_attention_heads": 2, "v_intermediate_size": 32,
+    "bi_hidden_size": 32, "bi_num_attention_heads": 4,
+    "v_biattention_id": [0, 1], "t_biattention_id": [2, 3],
+    "max_position_embeddings": 512, "plotqa_vocab_types": 12,
+    "pooling_method": "mul",
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--fast", action="store_true",
+                    help="smoke sizes (minutes); accuracy then only "
+                         "proves plumbing, not learning")
+    ap.add_argument("--root", default="", help="work dir (default: tmp)")
+    ap.add_argument("--det-iters", type=int, default=0)
+    ap.add_argument("--qa-epochs", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    n_train, n_test = (8, 4) if args.fast else (48, 16)
+    det_iters = args.det_iters or (12 if args.fast else 200)
+    qa_epochs = args.qa_epochs or (1 if args.fast else 8)
+
+    root = args.root or tempfile.mkdtemp(prefix="e2e_proof_")
+    print(f"[proof] work dir {root}", flush=True)
+    from crct_tpu.detector.synthetic_charts import generate_png_dataset
+    train_env = generate_png_dataset(os.path.join(root, "charts"),
+                                     n_images=n_train, seed=0,
+                                     split="train")
+    test_env = generate_png_dataset(os.path.join(root, "charts"),
+                                    n_images=n_test, seed=1000,
+                                    split="test")
+
+    # ---- stage 1: detector training on the charts' COCO boxes ----------
+    print(f"[proof] training detector ({det_iters} iters)...", flush=True)
+    from crct_tpu.cli.detector_train import main as det_main
+    det_out = os.path.join(root, "detector")
+    det_main(["--dataset", "plotqa",
+              "--annotations", train_env["coco"],
+              "--image-dir", train_env["png_dir"],
+              "--image-size", "320", "--batch-size", "2",
+              "--depth", "14",
+              "--max-iter", str(det_iters),
+              "--checkpoint-every", str(det_iters),
+              "--max-boxes", "40", "--output-dir", det_out])
+    det_ckpt = os.path.join(det_out, f"detector_{det_iters}.ckpt")
+    assert os.path.exists(det_ckpt), det_ckpt
+
+    # ---- stage 2: feature extraction with the TRAINED detector ---------
+    # GT-text oracle (the reference's --ocr-gt): text comes from the
+    # annotations, visual elements from the learned detector
+    from crct_tpu.cli.extract_features import main as ext_main
+    feat_root = os.path.join(root, "fig_features")
+    for split in ("train", "test"):
+        print(f"[proof] extracting {split} features...", flush=True)
+        ext_main(["--load-weights", det_ckpt,
+                  "--dir-path", os.path.join(root, "charts"),
+                  "--split", split,
+                  "--output", os.path.join(feat_root, split),
+                  "--batch-size", "64", "--ocr-gt", "--dataset", "plotqa",
+                  "--num-classes", "16", "--depth", "14", "--image-size", "320",
+                  "--short-edge", "0", "--infer-batch", "4"])
+
+    # ---- stage 3+4: QA train on train split, evaluate on test ----------
+    qa_root = os.path.join(root, "QA")
+    for split, env in (("train", train_env), ("test", test_env)):
+        os.makedirs(os.path.join(qa_root, split), exist_ok=True)
+        qa = np.load(env["qa_file"], allow_pickle=True)
+        np.save(os.path.join(qa_root, split, "qa_pairs.npy"), qa,
+                allow_pickle=True)
+    with open(os.path.join(root, "tiny_model.json"), "w") as f:
+        json.dump(TINY_MODEL, f)
+    ds_cfg = {
+        "dataset": "plotqa", "categories": 228, "max_vis_features": 44,
+        "max_seq_len": 124, "binary_answers": False,
+        "main_folder": root + "/",
+        "model_config": "tiny_model.json", "save_path": "results/",
+        "figure_feat_path": "fig_features/", "qa_parent_dir": "QA/",
+        "tensorboard": "", "checkpoints_dir": "results/",
+        "dataset_files_divisions": {"train": 64, "test": 64},
+        "splits": ["train", "train", "test"],
+    }
+    with open(os.path.join(root, "ds.json"), "w") as f:
+        json.dump(ds_cfg, f)
+
+    print(f"[proof] training QA model ({qa_epochs} epochs)...", flush=True)
+    from crct_tpu.cli.train import main as train_main
+    train_main(["-qa_file", "qa_pairs.npy", "-dataset_config",
+                os.path.join(root, "ds.json"), "-batch_size", "8",
+                "-num_epochs", str(qa_epochs), "-num_workers", "1",
+                "-save_name", "qa", "-no_eval", "-lr", "2e-4",
+                "-min_lr", "2e-4", "-warmup", "10"])
+    cks = sorted(glob.glob(os.path.join(root, "results", "qa", "*.ckpt")),
+                 key=os.path.getmtime)
+    assert cks, "QA training saved no checkpoint"
+
+    print("[proof] evaluating on the held-out split...", flush=True)
+    from crct_tpu.cli.evaluate import main as eval_main
+    total, _ = eval_main(["-qa_file", "qa_pairs.npy", "-dataset_config",
+                          os.path.join(root, "ds.json"), "-eval_set",
+                          "test", "-save_name", "qa_eval",
+                          "-eval_batch_size", "64",
+                          "-num_workers", "1",
+                          "-start_checkpoint", cks[-1]])
+
+    n_q = float(total[0, 1])
+    acc = float(total[0, 0]) / max(n_q, 1.0)
+    # chance: picking uniformly among each question's candidates
+    from crct_tpu.config import default_params
+    from crct_tpu.data.dataset import ChartQADataset
+    params = default_params(
+        figure_feat_path=os.path.join(root, "fig_features") + "/",
+        qa_parent_dir=os.path.join(root, "QA") + "/",
+        dataset_config={"dataset_files_divisions":
+                        ds_cfg["dataset_files_divisions"]},
+        splits=["train", "train", "test"], eval_set="test",
+        save_path=os.path.join(root, "results"))
+    ds = ChartQADataset(params, ["test"], init_split="test")
+    chance = float(np.mean(
+        [1.0 / max(1, len(ds.get_possible_answers(
+            int(q["image_index"])))) for q in ds.qa["test"]]))
+    result = {"e2e_learned_heldout_accuracy": round(acc, 4),
+              "chance": round(chance, 4),
+              "questions": int(n_q), "det_iters": det_iters,
+              "qa_epochs": qa_epochs, "charts_train": n_train,
+              "charts_test": n_test, "fast": bool(args.fast)}
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
