@@ -29,6 +29,35 @@ def test_analytic_flops_matches_cost_model():
     assert abs(xla - analytic) / xla < 0.05, (xla, analytic)
 
 
+def test_backend_down_fallback_prints_last_good():
+    """With the device backend down, ``python bench.py`` must still emit
+    ONE JSON line: the committed last-good real-hardware run, marked
+    stale (the tunneled axon backend has wedged for 6+ hour stretches —
+    the driver's round-end bench must never come back empty)."""
+    import contextlib
+    import io
+    import json
+
+    import bench
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._print_last_good("probe timed out")
+    line = json.loads(buf.getvalue())
+    assert line["unit"] == "qa_pairs/s/chip"
+    assert line["value"] > 0            # the snapshot carries real numbers
+    assert line["aux"]["stale"] is True
+    assert "probe timed out" in line["aux"]["stale_reason"]
+    assert line["aux"]["measured_at"] != "unknown"
+    # the snapshot must never be refreshed from a cpu run or a stale line
+    bench._save_last_good({"value": 1.0, "aux": {}}, platform="cpu")
+    bench._save_last_good({"value": 1.0, "aux": {"stale": True}},
+                          platform="axon")
+    with open(bench._last_good_path()) as f:
+        snap = json.load(f)
+    assert snap["result"]["value"] == line["value"]
+
+
 @pytest.mark.slow
 def test_serve_bench_smoke():
     """tools/serve_bench.py end-to-end on CPU with the tiny model: the
