@@ -185,11 +185,9 @@ class QAScorer:
             src = loaded.get("model_state_dict", loaded)
             self.model_params, _ = transfer_params(self.model_params, src)
             if self.fast:
-                import jax.tree_util as jtu
-                has_head = any(
-                    "fast_scorer" in jtu.keystr(p) for p, _ in
-                    jtu.tree_flatten_with_path(src)[0])
-                if not has_head:
+                # the FastScorer module lives at the top-level key
+                # "fast_scorer" (models/crct.py) — no tree flatten needed
+                if "fast_scorer" not in src:
                     print("WARNING: -fast_scorer serving, but the "
                           "checkpoint carries no fast_scorer head — the "
                           "shortlist head is RANDOM. Train one with "
@@ -428,9 +426,12 @@ class DynamicBatcher:
         self._q.put((qa_pair, top, fut))
         return fut
 
-    def close(self) -> None:
+    def close(self, timeout: float = 120.0) -> None:
+        # the drain must outlast one full dispatch (seconds on a cold
+        # compile path, ~100ms steady-state) or in-flight futures are
+        # abandoned and their clients get connection resets
         self._q.put(_CLOSE)
-        self._thread.join(timeout=10)
+        self._thread.join(timeout=timeout)
 
     def _loop(self) -> None:
         while True:
@@ -493,6 +494,12 @@ class QAServer(ThreadingHTTPServer):
         self.batcher = DynamicBatcher(scorer.score, max_batch=max_batch,
                                       max_delay_ms=max_delay_ms)
         self.answer_timeout = timeout_s
+        # in-flight connection tracking: handler threads are daemon (so a
+        # stuck client can never hang shutdown forever) and therefore
+        # invisible to socketserver's close logic — server_close waits on
+        # this count so responses already computed still reach clients
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
         self.img_to_qas: Dict[int, List[Dict[str, Any]]] = {}
         for qa in scorer.dataset.qa[scorer.dataset.split]:
             self.img_to_qas.setdefault(
@@ -537,13 +544,37 @@ class QAServer(ThreadingHTTPServer):
                                  "answer": None, "qid": None, "type": "dot"})
         return record
 
+    def process_request_thread(self, request, client_address):
+        with self._inflight_cv:
+            self._inflight += 1
+        try:
+            super().process_request_thread(request, client_address)
+        finally:
+            with self._inflight_cv:
+                self._inflight -= 1
+                self._inflight_cv.notify_all()
+
     def server_close(self) -> None:  # shutdown drains the batcher too
         # socketserver calls server_close from a FAILED __init__ (e.g.
         # port already bound) before self.batcher is assigned — don't let
         # an AttributeError mask the real bind error
+        cv = getattr(self, "_inflight_cv", None)
+        if cv is not None:
+            # graceful drain: accepts have stopped (shutdown() already
+            # ran), but daemon handler threads may still be waiting on
+            # batcher futures — give them the same window a client gets
+            deadline = monotonic() + getattr(self, "answer_timeout", 120.0)
+            with cv:
+                while self._inflight > 0:
+                    remaining = deadline - monotonic()
+                    if remaining <= 0:
+                        break
+                    cv.wait(remaining)
         batcher = getattr(self, "batcher", None)
         if batcher is not None:
-            batcher.close()
+            # handlers are drained, so the queue is empty; the join only
+            # needs to cover a dispatch already on the scorer thread
+            batcher.close(timeout=getattr(self, "answer_timeout", 120.0))
         super().server_close()
 
 

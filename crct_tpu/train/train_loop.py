@@ -27,8 +27,8 @@ from crct_tpu.models.crct import CRCTModel, build_model
 from crct_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from crct_tpu.train.optimizer import current_lr, make_optimizer
 from crct_tpu.utils.checkpoint import (checkpoint_name, epoch_from_name,
-                                       load_checkpoint, save_checkpoint,
-                                       transfer_params)
+                                       epoch_iter_from_name, load_checkpoint,
+                                       save_checkpoint, transfer_params)
 from crct_tpu.utils.logging import init_log_file, log_line
 
 # device-array batch keys consumed by the jitted step
@@ -159,7 +159,7 @@ class Trainer:
             import shutil
             cks = sorted(_glob.glob(os.path.join(
                 pd["save_path"], "plotqa_encoder_*.ckpt")),
-                key=epoch_from_name)
+                key=epoch_iter_from_name)
             for old in cks[:-keep]:
                 shutil.rmtree(old, ignore_errors=True)   # orbax ckpt = dir
                 if os.path.isfile(old):
@@ -244,15 +244,34 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
             log_line(pd, f"SIGTERM: saved preemption checkpoint {path}; "
                          f"resume with -continue -start_checkpoint {path}")
 
+    def _restore_handler() -> None:
+        if prev_handler is not None:
+            import signal
+            signal.signal(signal.SIGTERM, prev_handler)
+
+    try:
+        return _run_epochs(params_dict, trainer, loader, dataset, eval_fn,
+                           stop_requested, _preempt_save, tb_writer,
+                           loss_hist, start_t, profile_dir, iters_per_epoch,
+                           PRINT_EVERY, TB_EVERY)
+    finally:
+        # the handler must not outlive this call even when the NaN guard
+        # (or anything else) raises: the stop_requested list it appends to
+        # is dead, so a leaked handler would silently swallow SIGTERM for
+        # the rest of the process
+        _restore_handler()
+
+
+def _run_epochs(params_dict, trainer, loader, dataset, eval_fn,
+                stop_requested, _preempt_save, tb_writer, loss_hist,
+                start_t, profile_dir, iters_per_epoch,
+                PRINT_EVERY, TB_EVERY):
     for epoch_id in range(trainer.start_epoch, params_dict["num_epochs"]):
         loader.set_epoch(epoch_id)
         epoch_time = time.time()
         for iter_id, batch in enumerate(loader):
             if stop_requested:
                 _preempt_save(epoch_id)
-                if prev_handler is not None:
-                    import signal
-                    signal.signal(signal.SIGTERM, prev_handler)
                 return trainer
             # first-class step tracing (the reference had only ad-hoc
             # wall-clock timers, SURVEY.md §5)
@@ -346,9 +365,6 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
             log_line(params_dict,
                      f"     -> Eval time: {round(time.time() - t0, 2)}")
             dataset.split = "train"
-    if prev_handler is not None:
-        import signal
-        signal.signal(signal.SIGTERM, prev_handler)
     return trainer
 
 

@@ -29,6 +29,13 @@ def epoch_from_name(path: str) -> int:
     return int(os.path.basename(path).split("_")[2])
 
 
+def epoch_iter_from_name(path: str) -> tuple:
+    """(epoch, iter) recency key: a preemption save shares its epoch
+    number with the regular epoch save, so epoch alone cannot order them."""
+    parts = os.path.basename(path).split("_")
+    return int(parts[2]), int(parts[3].split(".")[0])
+
+
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     iter_id: int = 0, extra: Optional[Dict] = None) -> None:
     from flax import serialization

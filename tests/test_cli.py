@@ -114,8 +114,9 @@ def test_sigterm_preemption_checkpoint(cli_env):
     proc = subprocess.Popen(
         [sys.executable, str(driver)], stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True,
-        env={**os.environ, "PYTHONPATH": "/root/repo:"
-             + os.environ.get("PYTHONPATH", "")})
+        env={**os.environ, "PYTHONPATH":
+             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+             + ":" + os.environ.get("PYTHONPATH", "")})
     lines = []
     try:
         # first "[Ep:" progress line = the loop is past step 0

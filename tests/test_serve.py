@@ -321,18 +321,16 @@ def test_serving_matches_predictions_out(tmp_path):
     from crct_tpu.config import read_command_line
     from crct_tpu.data.example_builder import REG_TOKEN
 
+    from tests.helpers import tiny_model_config
+
     cfg = generate_dataset(str(tmp_path / "data"), n_images=4, division=4,
                            n_questions=3, feat_dim=64)
-    tiny = {"vocab_size": 30522, "hidden_size": 64, "num_hidden_layers": 2,
-            "num_attention_heads": 4, "intermediate_size": 128,
-            "v_feature_size": 64, "v_hidden_size": 32,
-            "v_num_hidden_layers": 1, "v_num_attention_heads": 2,
-            "v_intermediate_size": 32, "bi_hidden_size": 32,
-            "bi_num_attention_heads": 4, "v_biattention_id": [0],
-            "t_biattention_id": [1], "max_position_embeddings": 512,
-            "plotqa_vocab_types": 12, "pooling_method": "mul"}
+    tiny = tiny_model_config(vocab_size=30522, num_hidden_layers=2,
+                             v_feature_size=64, v_num_hidden_layers=1,
+                             v_biattention_id=[0], t_biattention_id=[1],
+                             max_position_embeddings=512)
     with open(tmp_path / "tiny_model.json", "w") as f:
-        json.dump(tiny, f)
+        json.dump(dict(tiny.__dict__), f, default=str)
     cfg.update(model_config=str(tmp_path / "tiny_model.json"),
                main_folder=str(tmp_path) + "/", save_path="results/",
                tensorboard="", checkpoints_dir="results/")

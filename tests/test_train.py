@@ -351,10 +351,17 @@ def test_nan_guard_halts_with_diagnostic(tmp_path):
             rec["vis_feat"] = np.full_like(rec["vis_feat"], np.nan)
         np.save(fpath, shard, allow_pickle=True)
 
+    import signal
+
     from crct_tpu.train.train_loop import run_training
     ds = ChartQADataset(params, ["train"])
+    handler_before = signal.getsignal(signal.SIGTERM)
     with pytest.raises(RuntimeError, match="NaN guard"):
         run_training(params, ds)
+    # the guard's raise must not leak the loop's no-op SIGTERM handler:
+    # a leaked handler appends to a dead list and the process would
+    # silently swallow every later SIGTERM
+    assert signal.getsignal(signal.SIGTERM) is handler_before
     diags = _glob.glob(str(tmp_path / "results" / "NANDIAG_step*.ckpt"))
     assert len(diags) == 1
     from crct_tpu.utils.checkpoint import load_checkpoint
@@ -391,3 +398,13 @@ def test_max_checkpoints_retention(tmp_path):
     cks = sorted(_glob.glob(str(tmp_path / "results" /
                                 "plotqa_encoder_*.ckpt")))
     assert sorted(epoch_from_name(c) for c in cks) == [1, 2]
+
+    # a preemption save shares its epoch number with the regular epoch
+    # save; recency must order by (epoch, iter) so the newer resumable
+    # state is the one retention keeps
+    from crct_tpu.utils.checkpoint import epoch_iter_from_name
+    names = ["plotqa_encoder_2_10.ckpt", "plotqa_encoder_2_37.ckpt",
+             "plotqa_encoder_1_99.ckpt"]
+    assert sorted(names, key=epoch_iter_from_name) == [
+        "plotqa_encoder_1_99.ckpt", "plotqa_encoder_2_10.ckpt",
+        "plotqa_encoder_2_37.ckpt"]
