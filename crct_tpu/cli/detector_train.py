@@ -55,6 +55,11 @@ def main(argv=None):
                    help="ResNet trunk depth override (default 0 = the "
                         "dataset rule: R101 for figure_qa, R50 otherwise; "
                         "14 = tiny trunk for CPU smoke/proof runs)")
+    p.add_argument("--fast-nms", action="store_true",
+                   help="parallel fast-NMS for train-time RPN proposals "
+                        "(keep set is a subset of exact NMS; inference "
+                        "and extraction always stay exact) — opt-in "
+                        "throughput trade, see docs/BENCHMARKS.md")
     p.add_argument("--no-augment", action="store_true",
                    help="disable train-time random hflip + multi-scale "
                         "shortest-edge sampling (on by default, matching "
@@ -67,13 +72,14 @@ def main(argv=None):
     from crct_tpu.utils.checkpoint import save_checkpoint
 
     with_mask = args.dataset == "plotqa"
-    depth = args.depth or (101 if args.dataset == "figure_qa" else 50)
     # stride convention AND pixel normalization follow the weights file's
     # layout (Detectron2 model-zoo = Caffe2 stride-in-1x1 + mean-only BGR
     # stats folded to RGB by the converter; torchvision = stride-on-3x3 +
     # ImageNet mean/std)
     from crct_tpu.detector.convert import detector_file_meta
+    from crct_tpu.detector.extract import resolve_depth
     meta = detector_file_meta(args.load_weights)
+    depth = resolve_depth(args.depth, meta, args.dataset, args.load_weights)
     stride_in_1x1 = meta["stride_in_1x1"]
     augment = not (args.test or args.no_augment)
     ds = CocoDataset(args.annotations, args.image_dir,
@@ -95,7 +101,8 @@ def main(argv=None):
                               stride_in_1x1=stride_in_1x1,
                               freeze_at=freeze_at,
                               dtype=jnp.bfloat16 if args.bf16
-                              else jnp.float32)
+                              else jnp.float32,
+                              fast_nms=args.fast_nms)
     if args.load_weights:
         import jax
         from crct_tpu.detector.convert import restore_detector_params
@@ -137,7 +144,11 @@ def main(argv=None):
                                                np.float32),
                                 "pixel_std":
                                     np.asarray(meta["pixel_std"],
-                                               np.float32)}})
+                                               np.float32),
+                                # extraction/serving rebuild the trunk
+                                # from this — a depth mismatch would
+                                # half-transfer silently
+                                "depth": np.asarray(depth)}})
             print(f"saved {path}")
 
 

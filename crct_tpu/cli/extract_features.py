@@ -52,9 +52,10 @@ def main(argv=None):
     p.add_argument('--infer-batch', type=int, default=8,
                    help="images per device dispatch (vmapped detector)")
     p.add_argument('--depth', type=int, default=0, choices=[0, 14, 50, 101],
-                   help="ResNet trunk depth override — must match the "
-                        "checkpoint being loaded (default 0 = the dataset "
-                        "rule: R101 for figure_qa, R50 otherwise)")
+                   help="ResNet trunk depth (default 0 = derived from the "
+                        "weights file, else the dataset rule: R101 for "
+                        "figure_qa, R50 otherwise); an explicit value that "
+                        "contradicts the weights file is an error")
     args = p.parse_args(argv)
     if args.dataset == 'dvqa' and args.ocr_gt:
         p.error("dvqa does not support --ocr-gt: DVQA GT annotations have "

@@ -119,6 +119,7 @@ def convert_detector_state_dict(sd: Dict[str, Any]
         k = tree["backbone"]["stem_conv"]["kernel"]     # HWIO
         tree["backbone"]["stem_conv"]["kernel"] = k[:, :, ::-1, :].copy()
     meta = _layout_meta(detectron2)
+    meta["depth"] = _depth_from_keys(sd)
     return tree, skipped, meta
 
 
@@ -131,10 +132,24 @@ def _layout_meta(detectron2: bool) -> Dict[str, Any]:
     if detectron2:
         return {"stride_in_1x1": True,
                 "pixel_mean": [123.675, 116.28, 103.53],
-                "pixel_std": [1.0, 1.0, 1.0]}
+                "pixel_std": [1.0, 1.0, 1.0],
+                "depth": None}
     return {"stride_in_1x1": False,
             "pixel_mean": [123.675, 116.28, 103.53],
-            "pixel_std": [58.395, 57.12, 57.375]}
+            "pixel_std": [58.395, 57.12, 57.375],
+            "depth": None}
+
+
+def _depth_from_keys(sd) -> Any:
+    """Derive the ResNet trunk depth from a torch state dict's stage-3
+    block count (R50: blocks 0-5, R101: 0-22); None when unrecognized."""
+    import re
+    mx = -1
+    for k in sd:
+        m = re.search(r"(?:res4|layer3)\.(\d+)\.", k)
+        if m:
+            mx = max(mx, int(m.group(1)))
+    return {5: 50, 22: 101}.get(mx)
 
 
 def _resnet_dest(tree: Dict) -> Dict:
@@ -294,7 +309,10 @@ def detector_file_meta(path: str) -> Dict[str, Any]:
                         "pixel_mean": [float(x) for x in
                                        np.asarray(m["pixel_mean"])],
                         "pixel_std": [float(x) for x in
-                                      np.asarray(m["pixel_std"])]}
+                                      np.asarray(m["pixel_std"])],
+                        # older checkpoints predate depth persistence
+                        "depth": int(np.asarray(m["depth"]))
+                        if "depth" in m else None}
         except (FileNotFoundError, KeyError, ValueError, OSError) as e:
             # do NOT silently fall back on a corrupt/unreadable fine-tuned
             # checkpoint — that is exactly the silent-garbage-features
@@ -305,7 +323,9 @@ def detector_file_meta(path: str) -> Dict[str, Any]:
     sd = load_detector_torch_file(path)
     detectron2 = any(k.startswith(("backbone.bottom_up", "roi_heads."))
                      for k in sd)
-    return _layout_meta(detectron2)
+    meta = _layout_meta(detectron2)
+    meta["depth"] = _depth_from_keys(sd)
+    return meta
 
 
 def restore_detector_params(init_params: Any, path: str,

@@ -357,6 +357,24 @@ def make_detect_one(detector):
     return detect_one
 
 
+def resolve_depth(cli_depth: int, meta: Dict[str, Any], dataset: str,
+                  weights_path: str = "") -> int:
+    """Resolve the ResNet trunk depth: an explicit CLI value must agree
+    with the weights file's recorded/derived depth (a mismatch would
+    partial-transfer the trunk and leave deeper blocks RANDOM with no
+    error), otherwise the file's depth wins, falling back to the dataset
+    rule (R101 for figure_qa, reference frcnn.py:137-155)."""
+    file_depth = meta.get("depth")
+    if cli_depth and file_depth and cli_depth != file_depth:
+        raise ValueError(
+            f"--depth {cli_depth} does not match the R{file_depth} trunk "
+            f"recorded in {weights_path!r}; loading would transfer only "
+            f"the matching prefix and leave deeper blocks randomly "
+            f"initialized. Drop --depth (it is derived from the weights) "
+            f"or point at matching weights.")
+    return cli_depth or file_depth or (101 if dataset == "figure_qa" else 50)
+
+
 def detector_from_weights(weights_path: str, *, dataset: str,
                           num_classes: int, canvas: Tuple[int, int],
                           depth: int = 0):
@@ -372,9 +390,10 @@ def detector_from_weights(weights_path: str, *, dataset: str,
     from crct_tpu.detector.mask_rcnn import MaskRCNN
 
     meta = detector_file_meta(weights_path if weights_path != "none" else "")
+    depth = resolve_depth(depth, meta, dataset, weights_path)
     model = MaskRCNN(num_classes=num_classes,
                      with_mask=dataset == "plotqa",
-                     depth=depth or (101 if dataset == "figure_qa" else 50),
+                     depth=depth,
                      stride_in_1x1=meta["stride_in_1x1"])
     dummy = jnp.zeros((canvas[0], canvas[1], 3), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, dummy, train=False))(

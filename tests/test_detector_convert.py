@@ -302,3 +302,41 @@ def test_detector_file_meta_layouts(tmp_path):
     # non-torch paths (crct checkpoints, empty) -> torchvision-style default
     assert not detector_file_meta("")["stride_in_1x1"]
     assert not detector_file_meta("x.ckpt")["stride_in_1x1"]
+
+
+def test_depth_recorded_and_resolved(tmp_path):
+    """Trunk depth travels with the weights: derived from torch block
+    counts, persisted in crct checkpoints, and a contradicting --depth is
+    an error instead of a silent half-random transfer."""
+    from crct_tpu.detector.convert import detector_file_meta
+    from crct_tpu.detector.extract import resolve_depth
+    from crct_tpu.utils.checkpoint import save_checkpoint
+
+    # torch layouts: stage-3 block count identifies R50 vs R101
+    r50 = {f"backbone.bottom_up.res4.{i}.conv1.weight":
+           torch.zeros(1, 1, 1, 1) for i in range(6)}
+    r101 = {f"backbone.body.layer3.{i}.conv1.weight":
+            torch.zeros(1, 1, 1, 1) for i in range(23)}
+    p50, p101 = str(tmp_path / "r50.pth"), str(tmp_path / "r101.pth")
+    torch.save(r50, p50)
+    torch.save(r101, p101)
+    assert detector_file_meta(p50)["depth"] == 50
+    assert detector_file_meta(p101)["depth"] == 101
+
+    # crct checkpoints persist the depth they were trained with
+    ck = str(tmp_path / "det.ckpt")
+    save_checkpoint(ck, {"w": np.zeros(1)}, extra={"detector_meta": {
+        "stride_in_1x1": np.asarray(0),
+        "pixel_mean": np.zeros(3, np.float32),
+        "pixel_std": np.ones(3, np.float32),
+        "depth": np.asarray(14)}})
+    meta = detector_file_meta(ck)
+    assert meta["depth"] == 14
+
+    # resolution: file wins over the dataset rule; explicit CLI must agree
+    assert resolve_depth(0, meta, "plotqa") == 14
+    assert resolve_depth(14, meta, "plotqa") == 14
+    assert resolve_depth(0, {"depth": None}, "figure_qa") == 101
+    assert resolve_depth(0, {"depth": None}, "plotqa") == 50
+    with pytest.raises(ValueError, match="does not match"):
+        resolve_depth(50, meta, "plotqa", ck)
