@@ -46,6 +46,10 @@ class MaskRCNN(nn.Module):
     dtype: Any = jnp.float32
     stride_in_1x1: bool = False     # True for Detectron2 model-zoo weights
     freeze_at: int = 0              # reference fine-tune default: 2
+    # opt-in: parallel fast-NMS for TRAIN-time proposals only (keep set is
+    # a subset of exact NMS; proposals only feed RoI sampling). Inference
+    # and extraction always use exact NMS.
+    fast_train_nms: bool = False
 
     def setup(self):
         self.backbone = ResNet(self.depth, self.dtype, self.stride_in_1x1,
@@ -77,7 +81,8 @@ class MaskRCNN(nn.Module):
 
         topk = self.post_nms_topk_train if train else self.post_nms_topk_test
         proposals, prop_scores, prop_valid = propose(
-            logits, deltas, anchors, (H, W), post_nms_topk=topk)
+            logits, deltas, anchors, (H, W), post_nms_topk=topk,
+            fast=train and self.fast_train_nms)
 
         if not train:
             return self._infer(p_feats, proposals, prop_valid, (H, W),

@@ -17,7 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from crct_tpu.detector import boxes as box_ops
-from crct_tpu.ops.nms import nms
+from crct_tpu.ops.nms import fast_nms, nms
 
 RPN_SIZES = (32, 64, 128, 256, 512)        # one size per P2..P6
 RPN_STRIDES = (4, 8, 16, 32, 64)
@@ -53,9 +53,13 @@ def level_anchors(feat_shapes: Sequence[Tuple[int, int]]) -> List[np.ndarray]:
 def propose(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray],
             anchors: Sequence[jnp.ndarray], image_hw: Tuple[int, int], *,
             pre_nms_topk: int = 1000, post_nms_topk: int = 512,
-            nms_thresh: float = 0.7
+            nms_thresh: float = 0.7, fast: bool = False
             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode + per-level top-k + joint NMS -> fixed post_nms_topk proposals.
+
+    ``fast=True`` swaps the exact sequential NMS for the parallel
+    ``fast_nms`` (keep set is a subset of exact; see ops/nms.py) — a
+    train-time throughput option, since proposals only feed RoI sampling.
 
     Returns (boxes [K,4], scores [K], valid [K])."""
     cand_boxes, cand_scores = [], []
@@ -76,8 +80,9 @@ def propose(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray],
     wh_ok = ((all_boxes[:, 2] - all_boxes[:, 0]) > 1e-3) & \
         ((all_boxes[:, 3] - all_boxes[:, 1]) > 1e-3)
     all_scores = jnp.where(wh_ok, all_scores, 0.0)
-    keep, valid = nms(all_boxes, all_scores, iou_threshold=nms_thresh,
-                      score_threshold=0.0, max_outputs=post_nms_topk)
+    nms_fn = fast_nms if fast else nms
+    keep, valid = nms_fn(all_boxes, all_scores, iou_threshold=nms_thresh,
+                         score_threshold=0.0, max_outputs=post_nms_topk)
     safe = jnp.maximum(keep, 0)
     return all_boxes[safe], all_scores[safe] * valid, valid
 

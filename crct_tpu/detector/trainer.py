@@ -102,7 +102,7 @@ class DetectorTrainer:
                  seed: int = 0, roi_batch: int = 256,
                  post_nms_topk: int = 512, batch_multiply: int = 1,
                  stride_in_1x1: bool = False, freeze_at: int = 0,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, fast_nms: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         # mesh size must divide the image batch
@@ -114,7 +114,8 @@ class DetectorTrainer:
                               post_nms_topk_train=post_nms_topk,
                               post_nms_topk_test=post_nms_topk,
                               stride_in_1x1=stride_in_1x1,
-                              freeze_at=freeze_at, dtype=dtype)
+                              freeze_at=freeze_at, dtype=dtype,
+                              fast_train_nms=fast_nms)
         sample = dataset[0]
         init = jax.jit(partial(self._init_fn, sample))(jax.random.key(seed))
         self.params = init

@@ -66,6 +66,44 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, *, iou_threshold: float = 0.5,
 
 
 @functools.partial(jax.jit, static_argnames=("max_outputs",))
+def fast_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+             iou_threshold: float = 0.5, score_threshold: float = 0.0,
+             max_outputs: int = 100) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel NMS (YOLACT-style): box i survives iff NO higher-scoring
+    box overlaps it — including boxes that were themselves suppressed.
+
+    The keep set is therefore always a SUBSET of exact ``nms()``'s (a
+    suppressed j can still suppress i here), i.e. it only over-suppresses;
+    kept boxes still never overlap above the threshold. In exchange the
+    whole op is one sort + one IoU matrix + a column max — no
+    ``max_outputs``-step serialized loop, which on TPU turns hundreds of
+    tiny dependent kernels into a handful of parallel ones.
+
+    Same interface as ``nms()``: (indices [max_outputs], valid) with
+    indices emitted in score order.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    ious = iou_matrix(b, b)
+    # row j suppresses column i only for j < i (strictly higher score;
+    # ties broken by sort order, matching nms()'s argmax-first semantics)
+    ut = jnp.triu(jnp.ones((n, n), bool), k=1)
+    overlapped = jnp.max(jnp.where(ut, ious, 0.0), axis=0)
+    keep = (overlapped <= iou_threshold) & (s > score_threshold)
+
+    # compact the kept rows (already score-ordered) into max_outputs slots
+    rank = jnp.cumsum(keep) - 1
+    slot = jnp.where(keep & (rank < max_outputs), rank, max_outputs)
+    keep_idx = jnp.full((max_outputs + 1,), -1, jnp.int32)
+    keep_idx = keep_idx.at[slot].set(order.astype(jnp.int32))[:max_outputs]
+    keep_valid = jnp.zeros((max_outputs + 1,), bool)
+    keep_valid = keep_valid.at[slot].set(keep)[:max_outputs]
+    return keep_idx, keep_valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_outputs",))
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
                 classes: jnp.ndarray, *, iou_threshold: float = 0.5,
                 score_threshold: float = 0.0, max_outputs: int = 100

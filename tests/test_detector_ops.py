@@ -123,6 +123,74 @@ def test_batched_nms_keeps_cross_class_overlaps():
     assert np.asarray(valid2).sum() == 1  # class-agnostic: one suppressed
 
 
+def test_fast_nms_subset_and_no_overlap():
+    """fast_nms (parallel, train-time opt-in) only over-suppresses: its
+    keep set is a subset of exact nms()'s, kept boxes never overlap above
+    the threshold, and sparse layouts (no overlaps) match exactly."""
+    from crct_tpu.ops.nms import fast_nms
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = 60
+        centers = rng.random((n, 2)) * 80
+        sizes = rng.random((n, 2)) * 25 + 4
+        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2],
+                               axis=1).astype(np.float32)
+        scores = (rng.random(n) * 0.9 + 0.05).astype(np.float32)
+        fi, fv = fast_nms(boxes, scores, iou_threshold=0.4,
+                          score_threshold=0.0, max_outputs=n)
+        ei, ev = nms(boxes, scores, iou_threshold=0.4,
+                     score_threshold=0.0, max_outputs=n)
+        fast_kept = {int(i) for i, v in zip(np.asarray(fi),
+                                            np.asarray(fv)) if v}
+        exact_kept = {int(i) for i, v in zip(np.asarray(ei),
+                                             np.asarray(ev)) if v}
+        assert fast_kept <= exact_kept, (trial, fast_kept - exact_kept)
+        kept = sorted(fast_kept)
+        if len(kept) > 1:
+            m = np.array(iou_matrix(boxes[kept], boxes[kept]))
+            np.fill_diagonal(m, 0)
+            assert m.max() <= 0.4 + 1e-6
+        # indices come out in score order, highest first
+        fvalid = [int(i) for i, v in zip(np.asarray(fi),
+                                         np.asarray(fv)) if v]
+        assert all(scores[a] >= scores[b]
+                   for a, b in zip(fvalid, fvalid[1:]))
+
+    # no overlaps at all -> identical to exact NMS
+    boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30], [40, 0, 50, 10]],
+                     np.float32)
+    scores = np.array([0.3, 0.9, 0.6], np.float32)
+    fi, fv = fast_nms(boxes, scores, iou_threshold=0.5, max_outputs=3)
+    assert list(np.asarray(fi)) == [1, 2, 0]
+    assert np.asarray(fv).all()
+
+    # score_threshold zeroes degenerate candidates like nms()
+    fi, fv = fast_nms(boxes, np.zeros(3, np.float32), iou_threshold=0.5,
+                      score_threshold=0.0, max_outputs=3)
+    assert not np.asarray(fv).any()
+
+
+def test_propose_fast_shapes_match_exact():
+    """propose(fast=True) keeps the exact path's fixed output contract."""
+    import jax.numpy as jnp
+
+    from crct_tpu.detector.rpn import level_anchors, propose
+
+    rng = np.random.default_rng(3)
+    shapes = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    anchors = level_anchors(shapes)
+    logits = [jnp.asarray(rng.standard_normal(a.shape[0]), jnp.float32)
+              for a in anchors]
+    deltas = [jnp.asarray(rng.standard_normal((a.shape[0], 4)) * 0.1,
+                          jnp.float32) for a in anchors]
+    for fast in (False, True):
+        b, s, v = propose(logits, deltas, anchors, (64, 64),
+                          post_nms_topk=32, fast=fast)
+        assert b.shape == (32, 4) and s.shape == (32,) and v.shape == (32,)
+        assert bool(np.asarray(v).any())
+
+
 def test_nms_fixed_output_shape():
     boxes = np.array([[0, 0, 10, 10]], np.float32)
     scores = np.array([0.9], np.float32)

@@ -82,6 +82,21 @@ def test_train_losses_finite(tiny_detector):
         assert k in losses and np.isfinite(float(losses[k])), k
         assert float(losses[k]) >= 0
 
+    # opt-in --fast-nms train path: same loss keys, finite, same params
+    fast_model = MaskRCNN(num_classes=5, depth=14, with_mask=True,
+                          post_nms_topk_train=32, post_nms_topk_test=16,
+                          roi_batch=16, fc_dim=64, fast_train_nms=True)
+    fl = fast_model.apply(variables, image, train=True, gt_boxes=gtb,
+                          gt_classes=gtc, gt_valid=gtv, gt_masks28=gtm,
+                          rng=jax.random.key(2))
+    for k in ("rpn_obj", "rpn_box", "box_cls", "box_reg", "mask", "total"):
+        assert k in fl and np.isfinite(float(fl[k])), k
+    # inference is unaffected by the flag (always exact NMS)
+    out_e = model.apply(variables, image, train=False)
+    out_f = fast_model.apply(variables, image, train=False)
+    np.testing.assert_array_equal(np.asarray(out_e["boxes"]),
+                                  np.asarray(out_f["boxes"]))
+
 
 def test_inference_shapes(tiny_detector):
     model, variables, image, _ = tiny_detector
