@@ -77,18 +77,25 @@ def main(argv=None):
                                     split="test")
 
     # ---- stage 1: detector training on the charts' COCO boxes ----------
-    print(f"[proof] training detector ({det_iters} iters)...", flush=True)
-    from crct_tpu.cli.detector_train import main as det_main
+    # stages skip when their outputs already exist, so an interrupted run
+    # resumes with the same --root instead of repaying hours of training
     det_out = os.path.join(root, "detector")
-    det_main(["--dataset", "plotqa",
-              "--annotations", train_env["coco"],
-              "--image-dir", train_env["png_dir"],
-              "--image-size", "320", "--batch-size", "2",
-              "--depth", "14",
-              "--max-iter", str(det_iters),
-              "--checkpoint-every", str(det_iters),
-              "--max-boxes", "40", "--output-dir", det_out])
     det_ckpt = os.path.join(det_out, f"detector_{det_iters}.ckpt")
+    if os.path.exists(det_ckpt):
+        print(f"[proof] {det_ckpt} exists - skipping detector training",
+              flush=True)
+    else:
+        print(f"[proof] training detector ({det_iters} iters)...",
+              flush=True)
+        from crct_tpu.cli.detector_train import main as det_main
+        det_main(["--dataset", "plotqa",
+                  "--annotations", train_env["coco"],
+                  "--image-dir", train_env["png_dir"],
+                  "--image-size", "320", "--batch-size", "2",
+                  "--depth", "14",
+                  "--max-iter", str(det_iters),
+                  "--checkpoint-every", str(det_iters),
+                  "--max-boxes", "40", "--output-dir", det_out])
     assert os.path.exists(det_ckpt), det_ckpt
 
     # ---- stage 2: feature extraction with the TRAINED detector ---------
@@ -97,6 +104,10 @@ def main(argv=None):
     from crct_tpu.cli.extract_features import main as ext_main
     feat_root = os.path.join(root, "fig_features")
     for split in ("train", "test"):
+        if glob.glob(os.path.join(feat_root, split, "*.npy")):
+            print(f"[proof] {split} feature shards exist - skipping "
+                  "extraction", flush=True)
+            continue
         print(f"[proof] extracting {split} features...", flush=True)
         ext_main(["--load-weights", det_ckpt,
                   "--dir-path", os.path.join(root, "charts"),
@@ -148,8 +159,15 @@ def main(argv=None):
                           "-num_workers", "1",
                           "-start_checkpoint", cks[-1]])
 
-    n_q = float(total[0, 1])
-    acc = float(total[0, 0]) / max(n_q, 1.0)
+    # headline = the protocol's strict Total Accuracy row (eval_loop
+    # reduce_total_acc row 4): cls-right AND (not-reg OR reg within 5%).
+    # Row 0 (cls only) would let a model that merely learns "value
+    # question -> pick the REG token" score without the detector->value
+    # pathway working; report it separately.
+    n_q = float(total[4, 1])
+    acc = float(total[4, 0]) / max(n_q, 1.0)
+    acc_cls = float(total[0, 0]) / max(float(total[0, 1]), 1.0)
+    acc_tol = float(total[5, 0]) / max(float(total[5, 1]), 1.0)
     # chance: picking uniformly among each question's candidates
     from crct_tpu.config import default_params
     from crct_tpu.data.dataset import ChartQADataset
@@ -165,6 +183,11 @@ def main(argv=None):
         [1.0 / max(1, len(ds.get_possible_answers(
             int(q["image_index"])))) for q in ds.qa["test"]]))
     result = {"e2e_learned_heldout_accuracy": round(acc, 4),
+              "cls_only_accuracy": round(acc_cls, 4),
+              "tolerance_accuracy": round(acc_tol, 4),
+              # candidate-uniform chance: an UPPER bound on chance for the
+              # strict metric (a random reg value almost never lands
+              # within 5%), so acc > chance is conservative evidence
               "chance": round(chance, 4),
               "questions": int(n_q), "det_iters": det_iters,
               "qa_epochs": qa_epochs, "charts_train": n_train,
