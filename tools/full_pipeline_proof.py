@@ -57,6 +57,10 @@ def main(argv=None):
     ap.add_argument("--root", default="", help="work dir (default: tmp)")
     ap.add_argument("--det-iters", type=int, default=0)
     ap.add_argument("--qa-epochs", type=int, default=0)
+    ap.add_argument("--fast-nms", action="store_true",
+                    help="train the detector with the parallel train-time "
+                         "NMS (accuracy-equivalence evidence for the "
+                         "--fast-nms opt-in)")
     args = ap.parse_args(argv)
 
     import jax
@@ -95,7 +99,8 @@ def main(argv=None):
                   "--depth", "14",
                   "--max-iter", str(det_iters),
                   "--checkpoint-every", str(det_iters),
-                  "--max-boxes", "40", "--output-dir", det_out])
+                  "--max-boxes", "40", "--output-dir", det_out]
+                 + (["--fast-nms"] if args.fast_nms else []))
     assert os.path.exists(det_ckpt), det_ckpt
 
     # ---- stage 2: feature extraction with the TRAINED detector ---------
@@ -191,7 +196,8 @@ def main(argv=None):
               "chance": round(chance, 4),
               "questions": int(n_q), "det_iters": det_iters,
               "qa_epochs": qa_epochs, "charts_train": n_train,
-              "charts_test": n_test, "fast": bool(args.fast)}
+              "charts_test": n_test, "fast": bool(args.fast),
+              "fast_nms": bool(args.fast_nms)}
     print(json.dumps(result))
     return result
 
