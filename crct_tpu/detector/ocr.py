@@ -97,15 +97,21 @@ def ocr_oracle(pred_feats: Dict[str, np.ndarray],
 
 def apply_ocr(image: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
               cls_dict: Dict[str, int]) -> List[str]:
-    """Real OCR per crop (requires pytesseract; raises otherwise). Includes
-    the 5px box dilation, the >=3 aspect vertical-tick rotation and numeric /
-    FigureQA-color cleanup of the reference."""
+    """Real OCR per crop. Includes the 5px box dilation, the >=3 aspect
+    vertical-tick rotation and numeric / FigureQA-color cleanup of the
+    reference. Engine: pytesseract when importable (the reference's,
+    extract_features.py:602), else the built-in template-matching
+    fallback (detector/ocr_lite.py) so the --OCR path still runs end to
+    end without the Tesseract binary."""
     try:
         import pytesseract
-    except ImportError as e:  # pragma: no cover - env without tesseract
-        raise RuntimeError(
-            "real-OCR mode needs pytesseract + the tesseract binary; use the "
-            "GT oracle (--ocr-gt) or Hungarian oracle modes instead") from e
+    except ImportError:  # no Tesseract binary in this environment
+        from crct_tpu.detector import ocr_lite as pytesseract
+        if not getattr(apply_ocr, "_lite_notice", False):
+            apply_ocr._lite_notice = True
+            print("apply_ocr: pytesseract not installed - using the "
+                  "built-in template OCR (crct_tpu/detector/ocr_lite.py); "
+                  "exact on PIL-default-font text, approximate otherwise")
 
     c = boxes.astype(int).copy()
     h, w = image.shape[:2]
