@@ -56,6 +56,12 @@ def main(argv=None):
                         "weights file, else the dataset rule: R101 for "
                         "figure_qa, R50 otherwise); an explicit value that "
                         "contradicts the weights file is an error")
+    p.add_argument('--score-thresh', type=float, default=0.5,
+                   help="detection score cut (reference SCORE_THRESH_TEST "
+                        "0.5, Detector/frcnn.py:133). Lower it for weakly "
+                        "trained detectors whose text classes would "
+                        "otherwise all fall below the cut and poison the "
+                        "records with empty OCR text")
     args = p.parse_args(argv)
     if args.dataset == 'dvqa' and args.ocr_gt:
         p.error("dvqa does not support --ocr-gt: DVQA GT annotations have "
@@ -89,7 +95,7 @@ def main(argv=None):
     model, params, pixel_mean, pixel_std = detector_from_weights(
         args.load_weights, dataset=args.dataset,
         num_classes=args.num_classes, canvas=(canvas_h, canvas_w),
-        depth=args.depth)
+        depth=args.depth, score_thresh=args.score_thresh)
 
     # batched inference: vmap over images, one device dispatch per
     # --infer-batch (the reference runs Detectron2 image-by-image;

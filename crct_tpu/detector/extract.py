@@ -377,7 +377,7 @@ def resolve_depth(cli_depth: int, meta: Dict[str, Any], dataset: str,
 
 def detector_from_weights(weights_path: str, *, dataset: str,
                           num_classes: int, canvas: Tuple[int, int],
-                          depth: int = 0):
+                          depth: int = 0, score_thresh: float = 0.5):
     """Build + initialize the extraction detector from a weights file,
     deriving geometry and preprocessing conventions from its layout
     (detector/convert.py).  ``weights_path='none'`` keeps the random init
@@ -391,10 +391,14 @@ def detector_from_weights(weights_path: str, *, dataset: str,
 
     meta = detector_file_meta(weights_path if weights_path != "none" else "")
     depth = resolve_depth(depth, meta, dataset, weights_path)
+    # pass the threshold only when overridden so a default-threshold call
+    # stays compatible with an already-imported (older) MaskRCNN class in
+    # long-running in-process pipelines
+    kw = {} if score_thresh == 0.5 else {"score_thresh_test": score_thresh}
     model = MaskRCNN(num_classes=num_classes,
                      with_mask=dataset == "plotqa",
                      depth=depth,
-                     stride_in_1x1=meta["stride_in_1x1"])
+                     stride_in_1x1=meta["stride_in_1x1"], **kw)
     dummy = jnp.zeros((canvas[0], canvas[1], 3), jnp.float32)
     variables = jax.jit(lambda r: model.init(r, dummy, train=False))(
         jax.random.key(0))

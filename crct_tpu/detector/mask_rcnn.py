@@ -50,6 +50,10 @@ class MaskRCNN(nn.Module):
     # a subset of exact NMS; proposals only feed RoI sampling). Inference
     # and extraction always use exact NMS.
     fast_train_nms: bool = False
+    # inference score cut before NMS; 0.5 is the reference's
+    # SCORE_THRESH_TEST (Detector/frcnn.py:133). Lower it for weakly
+    # trained detectors (e.g. extraction smoke runs) or mAP-style eval.
+    score_thresh_test: float = 0.5
 
     def setup(self):
         self.backbone = ResNet(self.depth, self.dtype, self.stride_in_1x1,
@@ -151,7 +155,8 @@ class MaskRCNN(nn.Module):
         scores, box_deltas = self.box_predictor(feats)
         det_boxes, det_scores, det_classes, det_valid, kept_rows = \
             box_head_inference(scores, box_deltas, proposals,
-                               prop_valid.astype(scores.dtype), hw)
+                               prop_valid.astype(scores.dtype), hw,
+                               score_thresh=self.score_thresh_test)
         out = {"boxes": det_boxes, "scores": det_scores,
                "classes": det_classes, "valid": det_valid,
                "features": feats[kept_rows],

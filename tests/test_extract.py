@@ -254,6 +254,40 @@ def test_extract_cli_batched_inference(tmp_path, canvas):
         assert (r["width"], r["height"]) == (320, 240)
 
 
+def test_score_thresh_plumbing():
+    """--score-thresh reaches MaskRCNN.score_thresh_test; the default stays
+    out of the constructor kwargs (backward compat with already-imported
+    module versions in long in-process pipelines), and a lower cut keeps
+    at least as many detections in box_head_inference."""
+    import jax.numpy as jnp
+
+    from crct_tpu.detector.extract import detector_from_weights
+    from crct_tpu.detector.heads import box_head_inference
+
+    model, _, _, _ = detector_from_weights(
+        "none", dataset="plotqa", num_classes=4, canvas=(32, 32), depth=14,
+        score_thresh=0.05)
+    assert model.score_thresh_test == 0.05
+    model_def, _, _, _ = detector_from_weights(
+        "none", dataset="plotqa", num_classes=4, canvas=(32, 32), depth=14)
+    assert model_def.score_thresh_test == 0.5
+
+    rng = np.random.RandomState(0)
+    n, c = 24, 4
+    scores = jnp.asarray(rng.randn(n, c + 1).astype(np.float32))
+    deltas = jnp.zeros((n, c, 4), jnp.float32)
+    props = jnp.asarray(
+        np.stack([rng.uniform(0, 10, n), rng.uniform(0, 10, n),
+                  rng.uniform(20, 30, n), rng.uniform(20, 30, n)], 1)
+        .astype(np.float32))
+    valid = jnp.ones((n,), jnp.float32)
+    n_low = int(box_head_inference(scores, deltas, props, valid, (32, 32),
+                                   score_thresh=0.05)[3].sum())
+    n_high = int(box_head_inference(scores, deltas, props, valid, (32, 32),
+                                    score_thresh=0.5)[3].sum())
+    assert n_low >= n_high and n_low > 0
+
+
 def test_apply_ocr_with_stubbed_pytesseract(monkeypatch):
     """Real-OCR cleanup logic (reference extract_features.py:579-627) tested
     with a stubbed pytesseract: 5px crop dilation (clamped), >=3-aspect
