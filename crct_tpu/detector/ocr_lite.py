@@ -150,21 +150,69 @@ class TemplateOCR:
         ink = _to_ink(image)
         if ink is None:
             return ""
+        ink = _mask_rule_lines(ink)
         rows = np.where(ink.max(1) > 0.25)[0]
         if len(rows) == 0:
             return ""
+        # candidate line origins span the WHOLE ink row range, not just the
+        # topmost ink row: a crop dilated into a neighboring axis line (the
+        # extract flow dilates boxes 5px, detector/ocr.py) has ink rows
+        # starting well above the glyphs, and anchoring only to rows[0]
+        # would never try the text's true origin
         lo = max(0, int(rows[0]) - (LINE_HEIGHT - 3))
-        dys = list(range(lo, int(rows[0]) + 1))
+        hi = min(int(rows[-1]) + 1, ink.shape[0])
+        dys = list(range(lo, hi))
+        if len(dys) > 48:       # bound the einsum DY axis on tall crops
+            dys = dys[:48]
         cands = self._candidates(ink, dys)
         need_h = max(dys) + LINE_HEIGHT
         pad = np.pad(ink, ((0, max(0, need_h - ink.shape[0])), (0, 0)))
+        # ink OUTSIDE a dy's window is unexplained by construction — charge
+        # it to that dy so a window over blank rows can't undercut the one
+        # actually covering the glyphs (calibrates costs across dys)
+        total_ink = float((pad ** 2).sum())
         best = (float("inf"), "")
         for dy in dys:
             col_ink = (pad[dy:dy + LINE_HEIGHT] ** 2).sum(0)
             c, s = self._decode_line(col_ink, cands[dy])
+            c += total_ink - float(col_ink.sum())
             if c < best[0]:
                 best = (c, s)
         return best[1]
+
+
+def _mask_rule_lines(ink: np.ndarray) -> np.ndarray:
+    """Zero out foreign ink that box dilation pulled into the crop.
+
+    The extract flow dilates every text box 5px before OCR
+    (detector/ocr.py), so tick crops often contain a slice of the chart's
+    axis rule or a neighboring element. That ink would otherwise be
+    'explained' by phantom glyphs (skipping ink costs its full energy, so
+    hallucinating a glyph over a rule is cheaper by construction).
+
+    The dilation margin gives a clean invariant: the box surrounds the
+    text, so genuine glyph ink is interior — any connected ink component
+    touching the crop border came from OUTSIDE the text box. Remove
+    those; if that would drop (nearly) all ink the crop was clamped at an
+    image edge and the text itself touches the border — keep the
+    original ink in that case."""
+    on = ink > 0.25
+    if not on.any():
+        return ink
+    from scipy import ndimage
+    labels, n = ndimage.label(on)
+    border = np.unique(np.concatenate([
+        labels[0], labels[-1], labels[:, 0], labels[:, -1]]))
+    border = border[border != 0]
+    if len(border) == 0:
+        return ink
+    foreign = np.isin(labels, border)
+    kept = float(ink[~foreign].sum())
+    if kept < 0.25 * float(ink.sum()):
+        return ink
+    out = ink.copy()
+    out[foreign] = 0.0
+    return out
 
 
 def _to_ink(image) -> Optional[np.ndarray]:

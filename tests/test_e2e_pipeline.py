@@ -130,6 +130,70 @@ def test_full_pipeline_png_to_answer(png_env, tmp_path):
     assert total[2, 1] > 0
 
 
+def test_ocr_mode_record_reads_rendered_text(png_env):
+    """build_feature_record(ocr_mode='ocr') on a REAL rendered chart: text
+    comes only from pixels through the built-in template OCR (reference
+    --OCR path, extract_features.py:579-627; no pytesseract in this env),
+    boxes/classes from the GT annotation so the check isolates OCR from
+    detector quality. The title, tick labels and legend strings must all
+    round-trip pixel-exactly (chart text uses the PIL default font the
+    template engine renders its glyphs with)."""
+    from PIL import Image
+
+    with open(png_env["annotations"]) as f:
+        ann = json.load(f)[0]
+    _, cls_dict = get_nonvis_ids("plotqa")
+    gt = get_gt_texts(ann, cls_dict, "plotqa")
+    img_path = sorted_image_files(png_env["png_dir"])[0]
+    raw = np.asarray(Image.open(img_path).convert("RGB"), np.uint8)
+    h, w = raw.shape[:2]
+
+    gfi = ann["general_figure_info"]
+
+    def rule_box(ax):
+        b = gfi[ax]["rule"]["bbox"]
+        return [b["x"], b["y"], b["x"] + b["w"], b["y"] + b["h"]]
+
+    with open(png_env["coco"]) as f:
+        coco = json.load(f)
+    bar_boxes = np.asarray(
+        [[a["bbox"][0], a["bbox"][1], a["bbox"][0] + a["bbox"][2],
+          a["bbox"][1] + a["bbox"][3]]
+         for a in coco["annotations"]
+         if a["image_id"] == 0 and a["category_id"] >= 9], np.float32)
+    boxes = np.concatenate([
+        np.asarray(gt["bboxes"], np.float32),
+        np.asarray([rule_box("x_axis"), rule_box("y_axis")], np.float32),
+        bar_boxes])
+    classes = np.concatenate([
+        np.asarray(gt["class"]),
+        [cls_dict["x_axis"], cls_dict["y_axis"]],
+        np.full(len(bar_boxes), 9)])  # visual bar class
+    rng = np.random.default_rng(0)
+    feats = rng.random((len(boxes), 64)).astype(np.float32)
+    feats, classes, boxes = inject_img_token(
+        feats, classes, boxes, rng.random(64).astype(np.float32), (h, w))
+
+    rec = build_feature_record(0, feats, classes, boxes, (h, w),
+                               dataset="plotqa", ocr_mode="ocr", image=raw)
+    assert rec["vis_feat"] is not None
+    tf = rec["text_feat"]
+    # title read from pixels matches the GT string exactly
+    assert tf["title"]["text"] == gfi["title"]["text"]
+    # every y tick value was read back exactly (numeric strings)
+    gt_yticks = gfi["y_axis"]["major_labels"]["values"]
+    gt_yticks = set(gt_yticks[: len(gt_yticks) // 2])
+    assert {t for t, _ in tf["y_axis"]["ticks"]} == gt_yticks
+    # x ticks are category words, read exactly
+    gt_xticks = gfi["x_axis"]["major_labels"]["values"]
+    gt_xticks = set(gt_xticks[: len(gt_xticks) // 2])
+    assert {t for t, _ in tf["x_axis"]["ticks"]} == gt_xticks
+    # legend labels (when present) also round-trip
+    if "legend" in gfi:
+        gt_leg = {i["label"]["text"] for i in gfi["legend"]["items"]}
+        assert set(np.asarray(tf["legend"]["label"]).tolist()) == gt_leg
+
+
 def test_demo_model_forward_on_records(png_env, tmp_path):
     """PlotQAModel (the interactive bot's engine) answers a single question
     over extractor records."""

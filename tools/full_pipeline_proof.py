@@ -61,7 +61,17 @@ def main(argv=None):
                     help="train the detector with the parallel train-time "
                          "NMS (accuracy-equivalence evidence for the "
                          "--fast-nms opt-in)")
+    ap.add_argument("--ocr", action="store_true",
+                    help="extract with --OCR (real OCR on the rendered "
+                         "pixels; the built-in template engine when "
+                         "Tesseract is absent) instead of the GT-text "
+                         "oracle — proves the pipeline with NO "
+                         "ground-truth text at all: boxes from the "
+                         "learned detector, text read from pixels")
     args = ap.parse_args(argv)
+    if args.ocr and args.fast_nms:
+        ap.error("--ocr and --fast-nms change different stages; run them "
+                 "separately so each result isolates one variable")
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -113,14 +123,24 @@ def main(argv=None):
             print(f"[proof] {split} feature shards exist - skipping "
                   "extraction", flush=True)
             continue
-        print(f"[proof] extracting {split} features...", flush=True)
+        print(f"[proof] extracting {split} features "
+              f"({'real OCR' if args.ocr else 'GT-text oracle'})...",
+              flush=True)
         ext_main(["--load-weights", det_ckpt,
                   "--dir-path", os.path.join(root, "charts"),
                   "--split", split,
                   "--output", os.path.join(feat_root, split),
-                  "--batch-size", "64", "--ocr-gt", "--dataset", "plotqa",
+                  "--batch-size", "64",
+                  "--OCR" if args.ocr else "--ocr-gt",
+                  "--dataset", "plotqa",
                   "--num-classes", "16", "--depth", "14", "--image-size", "320",
-                  "--short-edge", "0", "--infer-batch", "4"])
+                  "--short-edge", "0", "--infer-batch", "4"]
+                 # GT-oracle text boxes come from the annotations, so the
+                 # detection cut only gates VISUAL elements; OCR text
+                 # boxes must come from the detector itself, and a
+                 # few-hundred-iter detector's text scores sit well below
+                 # the production 0.5 cut — records would poison
+                 + (["--score-thresh", "0.05"] if args.ocr else []))
 
     # ---- stage 3+4: QA train on train split, evaluate on test ----------
     qa_root = os.path.join(root, "QA")
@@ -197,7 +217,7 @@ def main(argv=None):
               "questions": int(n_q), "det_iters": det_iters,
               "qa_epochs": qa_epochs, "charts_train": n_train,
               "charts_test": n_test, "fast": bool(args.fast),
-              "fast_nms": bool(args.fast_nms)}
+              "fast_nms": bool(args.fast_nms), "ocr": bool(args.ocr)}
     print(json.dumps(result))
     return result
 
