@@ -102,6 +102,8 @@ class Trainer:
         self.opt_state = jax.jit(tx.init)(self.params)
         self.step = 0
         self.start_epoch = 0
+        self._save_thread = None     # in-flight async checkpoint writer
+        self._save_error = None
 
         self._maybe_load_checkpoint()
 
@@ -144,13 +146,55 @@ class Trainer:
         self.step += 1
         return metrics
 
-    def save(self, epoch: int) -> str:
+    def save(self, epoch: int, blocking: bool = True) -> str:
+        """Save an epoch checkpoint; with ``blocking=False`` the disk write
+        runs on a background thread so the next epoch (and the in-train
+        eval) overlap it. The device->host fetch stays synchronous either
+        way: the jitted step donates the param/opt buffers, so they must be
+        materialized on host before the next ``run_step`` invalidates them.
+        """
         pd = self.params_dict
         os.makedirs(pd["save_path"], exist_ok=True)
         path = os.path.join(pd["save_path"], checkpoint_name(epoch, self.step))
-        save_checkpoint(path, jax.device_get(self.params),
-                        jax.device_get(self.opt_state), self.step)
-        keep = int(pd.get("max_checkpoints") or 0)
+        self.wait_for_save()              # one writer at a time
+        host_params = jax.device_get(self.params)
+        host_opt = jax.device_get(self.opt_state)
+        step = self.step
+
+        def _write() -> None:
+            save_checkpoint(path, host_params, host_opt, step)
+            self._retention_cleanup()
+
+        if blocking:
+            _write()
+        else:
+            import threading
+
+            def _runner() -> None:
+                try:
+                    _write()
+                except BaseException as e:   # surfaced at next wait_for_save
+                    self._save_error = e
+
+            self._save_thread = threading.Thread(
+                target=_runner, name="ckpt-writer", daemon=True)
+            self._save_thread.start()
+        return path
+
+    def wait_for_save(self) -> None:
+        """Join an in-flight async checkpoint write; re-raise its error."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
+        err = getattr(self, "_save_error", None)
+        if err is not None:
+            self._save_error = None
+            raise RuntimeError(
+                "background checkpoint write failed") from err
+
+    def _retention_cleanup(self) -> None:
+        keep = int(self.params_dict.get("max_checkpoints") or 0)
         if keep > 0:
             # opt-in retention: drop the oldest epoch checkpoints beyond
             # the newest `keep` (the reference keeps every epoch, which at
@@ -158,13 +202,12 @@ class Trainer:
             import glob as _glob
             import shutil
             cks = sorted(_glob.glob(os.path.join(
-                pd["save_path"], "plotqa_encoder_*.ckpt")),
+                self.params_dict["save_path"], "plotqa_encoder_*.ckpt")),
                 key=epoch_iter_from_name)
             for old in cks[:-keep]:
                 shutil.rmtree(old, ignore_errors=True)   # orbax ckpt = dir
                 if os.path.isfile(old):
                     os.remove(old)
-        return path
 
 
 def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
@@ -235,6 +278,7 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
 
     def _preempt_save(epoch_id: int) -> None:
         if jax.process_index() == 0:
+            trainer.wait_for_save()   # don't race the epoch writer
             pd = params_dict
             os.makedirs(pd["save_path"], exist_ok=True)
             path = os.path.join(
@@ -260,6 +304,17 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
         # is dead, so a leaked handler would silently swallow SIGTERM for
         # the rest of the process
         _restore_handler()
+        # flush the async epoch-checkpoint writer; an in-flight exception
+        # must fail the run — unless an original exception is already
+        # propagating, in which case that one wins
+        import sys as _sys
+        if _sys.exc_info()[0] is None:
+            trainer.wait_for_save()
+        else:
+            try:
+                trainer.wait_for_save()
+            except Exception:
+                pass
 
 
 def _run_epochs(params_dict, trainer, loader, dataset, eval_fn,
@@ -355,7 +410,9 @@ def _run_epochs(params_dict, trainer, loader, dataset, eval_fn,
         # concurrent force=True orbax saves to the SAME path from every
         # host corrupt the checkpoint
         if jax.process_index() == 0:
-            path = trainer.save(epoch_id)
+            # non-blocking: the ~GB-scale orbax write overlaps the in-train
+            # eval and the next epoch; run_training flushes it at exit
+            path = trainer.save(epoch_id, blocking=False)
             log_line(params_dict, f"     --> Saved model as: {path}")
 
         if not params_dict.get("no_eval") and eval_fn is not None:

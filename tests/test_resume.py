@@ -65,6 +65,45 @@ def test_transfer_mode_ignores_optimizer(tmp_path):
     assert trainer2.step == 0 and trainer2.start_epoch == 0
 
 
+def test_async_save_matches_blocking_and_is_loadable(tmp_path):
+    """blocking=False writes the identical checkpoint on a background
+    thread; wait_for_save() flushes it (train_loop's epoch save path)."""
+    from crct_tpu.utils.checkpoint import load_checkpoint
+    params = synthetic_params(tmp_path, n_images=8, division=4,
+                              n_questions=2, feat_dim=32, batch_size=8)
+    trainer, loader = _make_trainer(params, tmp_path)
+    trainer.run_step(next(iter(loader)))
+    sync_path = trainer.save(epoch=0)
+    async_path = trainer.save(epoch=1, blocking=False)
+    assert async_path != sync_path
+    trainer.wait_for_save()
+    a = load_checkpoint(sync_path)
+    b = load_checkpoint(async_path)
+    flat_a = jax.tree.leaves(a["model_state_dict"])
+    flat_b = jax.tree.leaves(b["model_state_dict"])
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert int(b["iter_id"]) == trainer.step
+
+
+def test_async_save_error_surfaces_at_flush(tmp_path, monkeypatch):
+    params = synthetic_params(tmp_path, n_images=8, division=4,
+                              n_questions=2, feat_dim=32, batch_size=8)
+    trainer, loader = _make_trainer(params, tmp_path)
+    trainer.run_step(next(iter(loader)))
+    import crct_tpu.train.train_loop as tl
+
+    def boom(*a, **kw):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(tl, "save_checkpoint", boom)
+    trainer.save(epoch=0, blocking=False)
+    with pytest.raises(RuntimeError, match="background checkpoint write"):
+        trainer.wait_for_save()
+    # the error is consumed: a subsequent flush is clean
+    trainer.wait_for_save()
+
+
 def test_gradient_accumulation_multisteps(tmp_path):
     params = synthetic_params(tmp_path, n_images=8, division=4,
                               n_questions=2, feat_dim=32, batch_size=4,
