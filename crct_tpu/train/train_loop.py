@@ -293,11 +293,18 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
             import signal
             signal.signal(signal.SIGTERM, prev_handler)
 
+    # track exception state explicitly instead of consulting sys.exc_info()
+    # in the finally block: exc_info is also non-None when run_training is
+    # *called from inside* an active except handler, which would silently
+    # swallow a background checkpoint-write failure on a clean run
+    clean_exit = False
     try:
-        return _run_epochs(params_dict, trainer, loader, dataset, eval_fn,
-                           stop_requested, _preempt_save, tb_writer,
-                           loss_hist, start_t, profile_dir, iters_per_epoch,
-                           PRINT_EVERY, TB_EVERY)
+        result = _run_epochs(params_dict, trainer, loader, dataset, eval_fn,
+                             stop_requested, _preempt_save, tb_writer,
+                             loss_hist, start_t, profile_dir, iters_per_epoch,
+                             PRINT_EVERY, TB_EVERY)
+        clean_exit = True
+        return result
     finally:
         # the handler must not outlive this call even when the NaN guard
         # (or anything else) raises: the stop_requested list it appends to
@@ -307,8 +314,7 @@ def run_training(params_dict: Dict[str, Any], dataset, eval_fn=None) -> Trainer:
         # flush the async epoch-checkpoint writer; an in-flight exception
         # must fail the run — unless an original exception is already
         # propagating, in which case that one wins
-        import sys as _sys
-        if _sys.exc_info()[0] is None:
+        if clean_exit:
             trainer.wait_for_save()
         else:
             try:
@@ -353,6 +359,12 @@ def _run_epochs(params_dict, trainer, loader, dataset, eval_fn,
                 # stop instead of burning the rest of the run
                 diag = "the rank-0 host"
                 if jax.process_index() == 0:
+                    # one orbax writer at a time: a previous epoch's async
+                    # write may still be in flight on the background thread
+                    try:
+                        trainer.wait_for_save()
+                    except Exception:
+                        pass   # the NaN diagnosis below is the primary error
                     os.makedirs(params_dict["save_path"], exist_ok=True)
                     diag = os.path.join(
                         params_dict["save_path"],
@@ -413,7 +425,9 @@ def _run_epochs(params_dict, trainer, loader, dataset, eval_fn,
             # non-blocking: the ~GB-scale orbax write overlaps the in-train
             # eval and the next epoch; run_training flushes it at exit
             path = trainer.save(epoch_id, blocking=False)
-            log_line(params_dict, f"     --> Saved model as: {path}")
+            # the disk write is merely enqueued here; a failure surfaces at
+            # the next wait_for_save() flush — don't log it as completed
+            log_line(params_dict, f"     --> Saving model to: {path} (async)")
 
         if not params_dict.get("no_eval") and eval_fn is not None:
             log_line(params_dict, "Starting evaluation (on sampled val set)...")

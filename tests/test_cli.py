@@ -54,7 +54,7 @@ def test_train_then_evaluate_cli_roundtrip(cli_env, capsys):
         ckpt = cli_env / "results" / "run1" / "plotqa_encoder_0_8.ckpt"
         assert ckpt.exists()
         out = capsys.readouterr().out
-        assert "[Loss:" in out and "Saved model as" in out
+        assert "[Loss:" in out and "Saving model to" in out
 
         # explicit -eval_batch_size: auto mode would compile a
         # 480x8-row chunk on the 8-device CPU mesh (minutes)
