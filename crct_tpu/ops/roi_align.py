@@ -182,61 +182,82 @@ def _mlra_forward(features, boxes, strides, output_size, sampling_ratio,
     return sampled.reshape(N, P, S, P, S, C).mean(axis=(2, 4))
 
 
+_BWD_INTERMEDIATE_BUDGET_BYTES = 384e6
+
+
 def _mlra_backward(features, boxes, grad_pooled, strides, output_size,
                    sampling_ratio, canonical_level, canonical_size,
                    min_level, max_level):
     """Gradient w.r.t. the feature maps WITHOUT scatter: the bilinear
     weights are separable, so per level
 
-        grad_feat[y, x, c] = sum_n,i,j Wy[n,i,y] Wx[n,j,x] g[n,i,j,c]
+        grad_feat[y, x, c] = sum_n,p,q Wy[n,p,y] Wx[n,q,x] g[n,p,q,c]
 
-    is two dense einsums (MXU work) per pyramid level — measured ~20x
-    faster than XLA's scatter-add transpose of the gather on TPU."""
+    is two dense einsums (MXU work) per pyramid level — measured far
+    faster than XLA's scatter-add transpose of the gather on TPU.
+
+    The S x S sample mean is folded INTO the per-axis bin weight matrices
+    (Wy[n,p,y] = (1/S) * sum_s of the two bilinear row weights of sample
+    (p, s)), so the einsums run at bin granularity P instead of sample
+    granularity P*S — half the FLOPs and half the [N, H, P, C]
+    intermediate of the per-sample formulation. Each level is computed in
+    ONE einsum pair over all rois whenever the intermediate fits the
+    memory budget; only above it does a lax.scan chunk the roi axis (the
+    old fixed chunk-of-16 paid a full-map accumulator read-modify-write
+    per chunk, which dominated the backward at 800px shapes)."""
     geo = _mlra_geometry(features, boxes, strides, output_size,
                          sampling_ratio, canonical_level, canonical_size,
                          min_level, max_level)
     N = boxes.shape[0]
     P, S = output_size, sampling_ratio
     C = features[0].shape[-1]
-    # grad w.r.t. sampled points: mean over the S x S samples per bin
-    g = (grad_pooled[:, :, None, :, None, :] / float(S * S))
-    g = jnp.broadcast_to(g, (N, P, S, P, S, C)).reshape(N, P * S, P * S, C)
+    g = grad_pooled.astype(jnp.float32)                    # [N, P, P, C]
 
-    # chunk the roi axis: the [chunk, H, P*S, C] einsum intermediate scales
-    # with image area (1.2 GB/level at 1344px for all 256 rois at once);
-    # a lax.scan accumulation bounds it while keeping the matmuls dense
-    CH = max(1, min(16, N))
-    G = -(-N // CH)
-    pad = G * CH - N
+    def bin_weights(lo, hi, w_lo, w_hi, L):
+        """Fold bilinear corner weights + the 1/S sample mean into a dense
+        [N, P, L] per-axis weight matrix (lo/hi/w_*: [N, P*S])."""
+        iota = jnp.arange(L, dtype=jnp.int32)
+        lo = lo.reshape(N, P, S)
+        hi = hi.reshape(N, P, S)
+        w_lo = w_lo.reshape(N, P, S)
+        w_hi = w_hi.reshape(N, P, S)
+        W = ((w_lo[..., None] * (lo[..., None] == iota)).sum(2)
+             + (w_hi[..., None] * (hi[..., None] == iota)).sum(2))
+        return W / float(S)
 
-    def chunked(x):
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-        return x.reshape((G, CH) + x.shape[1:])
-
-    g_r = chunked(g)
     grads = []
     for l, feat in enumerate(features):
         H, W = feat.shape[0], feat.shape[1]
-        on_l = (geo["lvl"] == l).astype(jnp.float32)[:, None]     # [N,1]
-        iota_h = jnp.arange(H, dtype=jnp.int32)
-        iota_w = jnp.arange(W, dtype=jnp.int32)
-        # separable one-hot weight matrices [N, PS, H] / [N, PS, W]
-        Wy = (geo["wy0"][..., None] * (geo["y0"][..., None] == iota_h)
-              + geo["wy1"][..., None] * (geo["y1i"][..., None] == iota_h))
-        Wx = (geo["wx0"][..., None] * (geo["x0"][..., None] == iota_w)
-              + geo["wx1"][..., None] * (geo["x1i"][..., None] == iota_w))
-        Wy = Wy * on_l[..., None]
+        on_l = (geo["lvl"] == l).astype(jnp.float32)       # [N]
+        Wy = bin_weights(geo["y0"], geo["y1i"], geo["wy0"], geo["wy1"], H)
+        Wx = bin_weights(geo["x0"], geo["x1i"], geo["wx0"], geo["wx1"], W)
+        Wy = Wy * on_l[:, None, None]
 
-        def body(acc, xs):
-            wy_c, wx_c, g_c = xs
-            t = jnp.einsum("kiy,kijc->kyjc", wy_c, g_c)
-            return acc + jnp.einsum("kjx,kyjc->yxc", wx_c, t), None
+        # chunk the roi axis only when the [CH, H, P, C] intermediate
+        # would blow the budget (scales with image area)
+        per_roi = H * P * C * 4
+        CH = int(min(N, max(1, _BWD_INTERMEDIATE_BUDGET_BYTES // per_roi)))
+        if CH >= N:
+            t = jnp.einsum("npy,npqc->nyqc", Wy, g)
+            acc = jnp.einsum("nqx,nyqc->yxc", Wx, t)
+        else:
+            G = -(-N // CH)
+            pad = G * CH - N
 
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros((H, W, C), g.dtype),
-            (chunked(Wy), chunked(Wx), g_r))
+            def chunked(x):
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+                return x.reshape((G, CH) + x.shape[1:])
+
+            def body(acc, xs):
+                wy_c, wx_c, g_c = xs
+                t = jnp.einsum("kpy,kpqc->kyqc", wy_c, g_c)
+                return acc + jnp.einsum("kqx,kyqc->yxc", wx_c, t), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((H, W, C), g.dtype),
+                (chunked(Wy), chunked(Wx), chunked(g)))
         # cotangent dtype must match the primal feature map (e.g. bf16
         # FPN maps with a float32 grad_pooled would fail the VJP check)
         grads.append(acc.astype(feat.dtype))
