@@ -342,7 +342,9 @@ def bench_e2e_charts(n_chips: int) -> dict:
                 gt_texts = get_gt_texts(gt_ann[image_id], cls_dict, "plotqa")
                 records.append(build_feature_record(
                     image_id, feats, classes, boxes, (h, w),
-                    dataset="plotqa", gt_texts=gt_texts, ocr_mode="gt"))
+                    dataset="plotqa", gt_texts=gt_texts, ocr_mode="gt",
+                    verbose=False))   # random-init detector: silence the
+                # per-image "No axes were detected" warnings in the tail
             np.save(os.path.join(out_dir, "0.npy"),
                     np.asarray(records, dtype=object), allow_pickle=True)
 
@@ -378,11 +380,14 @@ def bench_e2e_charts(n_chips: int) -> dict:
         qa_pass()                       # compile pass (eval step jits)
         t0 = time.perf_counter()
         extract_pass()
+        t1 = time.perf_counter()
         qa_pass()
         dt = time.perf_counter() - t0
         # the e2e pipeline runs on the default device (detector batch is
         # vmapped, not mesh-sharded): report the measured chip's rate
-        return {"e2e_charts_per_sec_per_chip": round(n_images / dt, 3)}
+        return {"e2e_charts_per_sec_per_chip": round(n_images / dt, 3),
+                "e2e_extract_s": round(t1 - t0, 3),
+                "e2e_qa_s": round(dt - (t1 - t0), 3)}
     finally:
         shutil.rmtree(td, ignore_errors=True)
 
@@ -611,6 +616,9 @@ def _print_last_good(reason: str) -> None:
         return
     aux = line.setdefault("aux", {})
     aux["stale"] = True
+    # explicit self-identification: a reader of BENCH_r*.json must be able
+    # to tell a fresh hardware run from a last-good replay at a glance
+    aux["replayed"] = True
     aux["stale_reason"] = "device backend unavailable: " + reason
     aux["measured_at"] = snap.get("measured_at", "unknown")
     print(json.dumps(line))

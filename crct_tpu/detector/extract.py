@@ -444,7 +444,8 @@ def build_feature_record(image_id: int, feats: np.ndarray,
                          img_shape: Tuple[int, int], *, dataset: str,
                          gt_texts: Optional[Dict[str, Any]] = None,
                          ocr_mode: str = "oracle",
-                         image: Optional[np.ndarray] = None
+                         image: Optional[np.ndarray] = None,
+                         verbose: Optional[bool] = None
                          ) -> Dict[str, Any]:
     """Assemble one `.npy` feature record from detector outputs.
 
@@ -517,8 +518,9 @@ def build_feature_record(image_id: int, feats: np.ndarray,
                       'y_axis': boxes[_class_mask(classes, ax_y)],
                       'values_are_x': False}
 
-    axes_ok = validate_both_axes(axes_boxes, boxes, str(image_id),
-                                 verbose='plotqa' in dataset)
+    axes_ok = validate_both_axes(
+        axes_boxes, boxes, str(image_id),
+        verbose='plotqa' in dataset if verbose is None else verbose)
     if axes_ok is None and dataset == 'figure_qa':
         # probably a pie chart: normalize by circle center/radius
         areas, center, r = get_pie_areas(boxes[vis][1:])
