@@ -99,4 +99,19 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, replicated_sharding(mesh))
+    """Device-put leaves replicated over ``mesh``. A leaf that is already a
+    fully-replicated jax.Array on a DIFFERENT device set (e.g. live training
+    params on the global multi-host mesh, re-homed onto the local eval mesh
+    by the in-train eval) is detoured through its local shard copy: a direct
+    cross-mesh device_put would demand an unsupported cross-host transfer
+    even though every host already holds the full value."""
+    sharding = replicated_sharding(mesh)
+    target = set(np.asarray(mesh.devices).flat)
+
+    def put(x):
+        if (isinstance(x, jax.Array) and x.sharding.is_fully_replicated
+                and set(x.sharding.device_set) != target):
+            x = x.addressable_data(0)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)

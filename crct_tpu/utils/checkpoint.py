@@ -20,6 +20,26 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _checkpointer() -> "ocp.Checkpointer":
+    """Checkpointer whose coordination barriers are scoped to the CALLING
+    process. All our checkpoints move host-numpy trees with a single
+    designated writer (rank 0 for train checkpoints, per-rank paths
+    elsewhere), so orbax's default global sync barriers are never needed —
+    and in a multi-process run they deadlock: rank 0's epoch save blocks on
+    a barrier rank 1 never reaches because rank 1 is already inside the
+    in-train eval's collectives (reference multi-node save semantics,
+    CRCT/train.py:284-291 — torch.save there is likewise local-only)."""
+    if jax.process_count() == 1:
+        return ocp.PyTreeCheckpointer()
+    me = jax.process_index()
+    mp_opts = ocp.options.MultiprocessingOptions(
+        primary_host=me, active_processes={me},
+        barrier_sync_key_prefix=f"proc{me}")
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(multiprocessing_options=mp_opts),
+        multiprocessing_options=mp_opts)
+
+
 def checkpoint_name(epoch: int, iter_id: int) -> str:
     return f"plotqa_encoder_{epoch}_{iter_id}.ckpt"
 
@@ -46,7 +66,7 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
         tree["optimizer_state_dict"] = serialization.to_state_dict(opt_state)
     if extra:
         tree.update(extra)
-    ocp.PyTreeCheckpointer().save(os.path.abspath(path), tree, force=True)
+    _checkpointer().save(os.path.abspath(path), tree, force=True)
 
 
 def restore_opt_state(live_opt_state: Any, saved_state_dict: Any) -> Any:
@@ -56,7 +76,7 @@ def restore_opt_state(live_opt_state: Any, saved_state_dict: Any) -> Any:
 
 
 def load_checkpoint(path: str, target: Any = None) -> Dict[str, Any]:
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     if target is not None:
         return ckptr.restore(os.path.abspath(path), item=target)
     return ckptr.restore(os.path.abspath(path))
