@@ -255,6 +255,77 @@ def bench_fast_scorer(cfg, rng, n_chips: int) -> dict:
     return {"fast_scorer_questions_per_sec_per_chip": round(qps, 2)}
 
 
+def bench_fast_topk8(n_chips: int, n_questions: int = 240, cfg=None,
+                     feat_dim: int = 1024) -> dict:
+    """Measured ``-fast_scorer -fast_scorer_topk 8`` throughput through the
+    REAL ``evaluate()`` loop — shortlist argsort, candidate-row gather,
+    chunked fast + rescore dispatches, and all accounting — at flagship
+    scale on PlotQA shapes. Loader batches are pre-materialized so the
+    number isolates the eval engine (the host example builder is benched
+    separately as input_pipeline_samples_per_sec_per_host), exactly like
+    the full-protocol eval numbers above. The full reference protocol is
+    measured on the SAME batches for an apples-to-apples speedup
+    (reference fan-out: evaluation.py:243-262)."""
+    import functools
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from crct_tpu.config import CRCTModelConfig, default_params
+    from crct_tpu.data.dataset import ChartQADataset, DataLoader
+    from crct_tpu.data.synthetic import generate_dataset
+    from crct_tpu.models.crct import CRCTModel
+    from crct_tpu.train.eval_loop import build_fast_rows, evaluate
+
+    with tempfile.TemporaryDirectory() as td:
+        n_img = 16
+        # all three splits: the reference's positional split->dir mapping
+        # (fig_dataloader.py:119-129) indexes 'test' as splits[2]
+        cfg_ds = generate_dataset(os.path.join(td, "d"), n_images=n_img,
+                                  division=4, feat_dim=feat_dim,
+                                  n_questions=-(-n_questions // n_img))
+        params = default_params(
+            figure_feat_path=cfg_ds["figure_feat_path"],
+            qa_parent_dir=cfg_ds["qa_parent_dir"],
+            dataset_config={"dataset_files_divisions":
+                            cfg_ds["dataset_files_divisions"]},
+            splits=cfg_ds["splits"], categories=cfg_ds["categories"],
+            eval_set="test", eval_batch_size=None,   # auto row chunking
+            fast_scorer=True, fast_scorer_topk=8)
+        ds = ChartQADataset(params, ["test"], init_split="test")
+        ds.get_all_answers = True
+        # 120 questions/batch: 3 exact 40-question fast chunks and 2 exact
+        # 480-row rescore chunks per batch on one chip — no pad waste
+        loader = DataLoader(ds, batch_size=120 * n_chips, shuffle=False,
+                            drop_last=False, num_workers=1)
+        batches = [{k: np.asarray(v) for k, v in b.items()} for b in loader]
+        n_q = sum(len(np.asarray(b["id"]).reshape(-1)) for b in batches)
+        fanout = float(np.mean(np.concatenate(
+            [np.asarray(b["num_ans"]).reshape(-1) for b in batches])))
+
+        model = CRCTModel(config=cfg or CRCTModelConfig(dtype="bfloat16"),
+                          categories=params["categories"], fast_scorer=True)
+        rows = {k: jnp.asarray(v)
+                for k, v in build_fast_rows(batches[0]).items()}
+        mp = jax.jit(functools.partial(model.init, train=False))(
+            {"params": jax.random.key(4)}, rows)["params"]
+
+        out = {"eval_measured_mean_candidates": round(fanout, 1)}
+        for key, p in (
+                ("fast_topk8_questions_per_sec_per_chip", params),
+                ("eval_protocol_questions_per_sec_per_chip_measured",
+                 dict(params, fast_scorer=False, fast_scorer_topk=0))):
+            evaluate(batches, ds, dict(p), model, mp, csv=False,
+                     log_print=lambda m: None)          # compile pass
+            t0 = time.perf_counter()
+            evaluate(batches, ds, dict(p), model, mp, csv=False,
+                     log_print=lambda m: None)
+            out[key] = round(n_q / (time.perf_counter() - t0) / n_chips, 1)
+        return out
+
+
 def bench_e2e_charts(n_chips: int) -> dict:
     """End-to-end charts/sec: chart PNG -> Mask R-CNN R50-FPN detection ->
     feature extraction (<IMG> token, GT-text oracle, axes normalization) ->
@@ -720,6 +791,12 @@ def main(pallas: bool = False, include_e2e: bool = False,
             1.0 / t_q, 1)
     except (KeyError, ZeroDivisionError):
         pass
+    try:
+        # the MEASURED topk-8 number through the real evaluate() loop
+        # (VERDICT r3 #4) plus the full protocol on the same batches
+        aux.update(bench_fast_topk8(n_chips))
+    except Exception as e:
+        aux["fast_topk8_error"] = str(e)[:200]
     aux.update(bench_input_pipeline())
     import sys as _sys
     if "--roofline" in _sys.argv:
