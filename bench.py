@@ -419,25 +419,33 @@ def bench_e2e_charts(n_chips: int) -> dict:
             np.save(os.path.join(out_dir, "0.npy"),
                     np.asarray(records, dtype=object), allow_pickle=True)
 
+        # eval_batch_size=None -> the auto row chunk (resolve_eval_chunk:
+        # 480 rows/chip) the default CLI runs with; the loader batch
+        # matches so chunks actually fill (the r3 bench pinned 120 here,
+        # which quadrupled the dispatch count and made the QA pass look
+        # dispatch-bound)
         params = default_params(
             figure_feat_path=os.path.join(td, "fig_features") + "/",
             qa_parent_dir=os.path.join(td, "QA") + "/",
             dataset_config={"dataset_files_divisions": {"test": n_images}},
-            eval_set="test", eval_batch_size=120,
+            eval_set="test", eval_batch_size=None,
             save_path=os.path.join(td, "results"))
         model = CRCTModel(config=CRCTModelConfig(dtype="bfloat16"),
                           categories=params["categories"])
 
         def qa_pass():
+            from crct_tpu.train.eval_loop import (
+                _chunk_rows, _flatten_valid_rows, resolve_eval_chunk,
+                resolve_eval_question_batch)
             ds = ChartQADataset(params, ["test"], init_split="test")
             ds.get_all_answers = True
-            loader = DataLoader(ds, batch_size=4, shuffle=False,
-                                drop_last=False, num_workers=1)
-            from crct_tpu.train.eval_loop import (_chunk_rows,
-                                                  _flatten_valid_rows)
+            loader = DataLoader(ds, batch_size=resolve_eval_question_batch(
+                                    params),
+                                shuffle=False, drop_last=False,
+                                num_workers=1)
             sample = next(iter(loader))
             rows, _ = _flatten_valid_rows(sample)
-            chunked, _ = next(_chunk_rows(rows, params["eval_batch_size"]))
+            chunked, _ = next(_chunk_rows(rows, resolve_eval_chunk(params)))
             if not hasattr(qa_pass, "params"):
                 import functools
                 variables = jax.jit(functools.partial(

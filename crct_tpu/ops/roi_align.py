@@ -184,6 +184,21 @@ def _mlra_forward(features, boxes, strides, output_size, sampling_ratio,
 
 _BWD_INTERMEDIATE_BUDGET_BYTES = 384e6
 
+# Backward implementation. The Pallas slab-scatter kernel
+# (ops/roi_align_pallas.py) does O(N * W * P * C) work against the
+# einsums' O(N * H * W * P * C) and wins at the op level (2.05 vs
+# 2.75 ms/grad, 800px/512 rois, v5e) — but LOSES inside the full 800px
+# train step (86.8 vs 82.1 ms/step measured): the shared XLA-side
+# geometry precompute no longer amortizes and per-level kernel launches
+# beat the saving. Einsum stays the default; the kernel is the tested
+# opt-in for larger maps, where the einsums' O(H) waste grows
+# (see docs/KERNELS.md).
+USE_PALLAS_BACKWARD = False
+
+
+def _pallas_backward_enabled() -> bool:
+    return bool(USE_PALLAS_BACKWARD)
+
 
 def _mlra_backward(features, boxes, grad_pooled, strides, output_size,
                    sampling_ratio, canonical_level, canonical_size,
@@ -283,9 +298,17 @@ def _mlra_fwd(features, boxes, strides, output_size, sampling_ratio,
 def _mlra_bwd(strides, output_size, sampling_ratio, canonical_level,
               canonical_size, min_level, max_level, res, grad_pooled):
     features, boxes = res
-    grad_feats = _mlra_backward(features, boxes, grad_pooled, strides,
-                                output_size, sampling_ratio, canonical_level,
-                                canonical_size, min_level, max_level)
+    if _pallas_backward_enabled():
+        from crct_tpu.ops.roi_align_pallas import mlra_backward_pallas
+        grad_feats = mlra_backward_pallas(
+            features, boxes, grad_pooled, strides, output_size,
+            sampling_ratio, canonical_level, canonical_size, min_level,
+            max_level)
+    else:
+        grad_feats = _mlra_backward(features, boxes, grad_pooled, strides,
+                                    output_size, sampling_ratio,
+                                    canonical_level, canonical_size,
+                                    min_level, max_level)
     # no gradient to the box coordinates (Detectron2 RoIAlign semantics;
     # the train path stop-gradients proposals anyway)
     return tuple(grad_feats), jnp.zeros_like(boxes)
