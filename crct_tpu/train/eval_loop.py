@@ -69,6 +69,38 @@ ROW_KEYS = ["tokens", "segments", "loc", "sep_indices", "hist_len",
             "image_feat", "image_loc", "image_mask", "image_target", "R",
             "area"]
 
+# Per-QUESTION constants across the candidate fan-out: the builder
+# broadcasts these over the P candidate rows (example_builder.py, the
+# reference's fig_dataloader.py:690-693 layout). The dedup eval path ships
+# them host->device ONCE per question and re-expands on device — image_feat
+# alone is [44,1024] f32 per question, so the per-row duplication is ~98%
+# of eval transfer bytes (latency-bound on tunneled/PCIe hosts).
+# "area" (figure_qa) is per-question too but figure_qa eval is binary and
+# never reaches the fan-out paths.
+EVAL_VIS_KEYS = ["image_feat", "image_loc", "image_mask", "image_target",
+                 "R"]
+EVAL_TEXT_KEYS = [k for k in ROW_KEYS if k not in EVAL_VIS_KEYS]
+
+
+def make_eval_step_dedup(model: CRCTModel):
+    """`make_eval_step` over TRANSFER-DEDUPLICATED inputs: per-row text
+    arrays plus per-QUESTION visual arrays and a row->question index; the
+    visual rows are re-materialized on device with one gather. Outputs are
+    bit-identical to `make_eval_step` on the expanded rows (the gather
+    reproduces the exact same per-row tensors)."""
+    import jax.numpy as jnp
+
+    def eval_step(params, text_rows, vis, row_qidx):
+        rows = dict(text_rows)
+        for k, v in vis.items():
+            rows[k] = jnp.take(v, row_qidx, axis=0)
+        out = model.apply({"params": params}, rows, train=False)
+        nsp_probs = jax.nn.softmax(out.nsp_logits, axis=-1)[:, 0]
+        return nsp_probs, out.reg_output, out.reg_5_dist, out.reg_l1
+
+    return jax.jit(eval_step)
+
+
 FAST_CAND_TOKENS = 8        # max WordPiece tokens per candidate answer
 
 
@@ -100,8 +132,9 @@ def _cached_eval_step(model: CRCTModel, kind: str) -> Callable:
     hit = _STEP_CACHE.get(key)
     if hit is not None and hit[0] is model:
         return hit[1]
-    step = make_fast_eval_step(model) if kind == "fast" else \
-        make_eval_step(model)
+    step = (make_fast_eval_step(model) if kind == "fast" else
+            make_eval_step_dedup(model) if kind == "rank_dedup" else
+            make_eval_step(model))
     while len(_STEP_CACHE) >= _STEP_CACHE_MAX:
         _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
     _STEP_CACHE[key] = (model, step)
@@ -149,11 +182,13 @@ def build_fast_rows(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return rows
 
 
-def _flatten_valid_rows(batch: Dict[str, Any]) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+def _flatten_valid_rows(batch: Dict[str, Any], keys=ROW_KEYS
+                        ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
     """[B, P, ...] -> [N_valid, ...] keeping per-question row offsets.
 
     P is EVAL_PADDED_SIZE normally, or the fixed-vocab size when
-    -fixed_vocab skips the 120-candidate padding."""
+    -fixed_vocab skips the 120-candidate padding. ``keys`` restricts the
+    flattened keys (the dedup path flattens text keys only)."""
     num_ans = np.asarray(batch["num_ans"]).reshape(-1)
     B = num_ans.shape[0]
     pad = np.asarray(batch["tokens"]).shape[1]
@@ -163,7 +198,7 @@ def _flatten_valid_rows(batch: Dict[str, Any]) -> Tuple[Dict[str, np.ndarray], n
     take = [np.arange(n) + q * pad for q, n in enumerate(num_ans)]
     flat_idx = np.concatenate(take)
     rows = {}
-    for k in ROW_KEYS:
+    for k in keys:
         if k not in batch:
             continue
         v = np.asarray(batch[k])
@@ -212,14 +247,16 @@ def resolve_eval_question_batch(params: Dict[str, Any]) -> int:
     return max(8, min(resolve_eval_chunk(params) // 12, 128))
 
 
-def shortlist_rescore_rows(batch: Dict[str, Any],
-                           top_idx: np.ndarray) -> Dict[str, np.ndarray]:
+def shortlist_rescore_rows(batch: Dict[str, Any], top_idx: np.ndarray,
+                           keys=ROW_KEYS) -> Dict[str, np.ndarray]:
     """Gather the per-candidate padded batch [B, P, ...] down to the
     shortlisted [B*K, ...] rows for full-model rescoring
-    (-fast_scorer_topk). ``top_idx`` [B, K] holds candidate indices."""
+    (-fast_scorer_topk). ``top_idx`` [B, K] holds candidate indices.
+    ``keys`` restricts the gathered keys (the dedup path gathers text
+    keys only)."""
     B, K = top_idx.shape
     rows: Dict[str, np.ndarray] = {}
-    for k in ROW_KEYS:
+    for k in keys:
         if k not in batch:
             continue
         v = np.asarray(batch[k])
@@ -451,7 +488,8 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     # (row) axis, params replicate (the reference's per-GPU DDP eval,
     # evaluation.py:134-153, within one host)
     from crct_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                        replicate as _replicate)
+                                        replicate as _replicate,
+                                        replicated_sharding)
     n_local = len(jax.local_devices())
     mesh = (make_mesh(devices=jax.local_devices())
             if n_local > 1 else None)
@@ -460,6 +498,7 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         qchunk = ((qchunk + n_local - 1) // n_local) * n_local
         model_params = _replicate(model_params, mesh)
         row_sharding = batch_sharding(mesh)
+        vis_sharding = replicated_sharding(mesh)
     else:
         # checkpoint-restored params arrive as numpy; jit re-transfers
         # numpy args on EVERY dispatch — pin them on device once
@@ -477,8 +516,15 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     if params.get("fast_scorer_topk") and not fast:
         log_print("WARNING: -fast_scorer_topk has no effect without "
                   "-fast_scorer (running the full reference protocol)")
-    eval_step = _cached_eval_step(model, "fast" if fast else "rank")
-    rank_step = _cached_eval_step(model, "rank") if topk else None
+    # dedup transfer: per-question visual arrays ship once per loader batch
+    # and re-expand on device (see EVAL_VIS_KEYS) — the fan-out otherwise
+    # duplicates image_feat ~P times in every host->device chunk transfer.
+    # Flag-gated for A/B and reference-layout debugging; numerics are
+    # identical either way (the device gather rebuilds the exact rows).
+    dedup = bool(params.get("eval_dedup", True)) and not binary
+    rank_kind = "rank_dedup" if dedup else "rank"
+    eval_step = _cached_eval_step(model, "fast" if fast else rank_kind)
+    rank_step = _cached_eval_step(model, rank_kind) if topk else None
     regs_mode = bool(params.get("qa_file")) and "_REGS" in str(params["qa_file"])
 
     breakdown = np.zeros((5, 4, 3, 3), np.float64)
@@ -492,23 +538,53 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             pass
 
     inf_time = [0.0, 0]
+    _qb_pad = [0]   # stable question-axis pad so one executable serves
 
-    def run_chunks(rows, step=None, chunk_size=None):
+    def put_vis(batch):
+        """Per-question visual arrays -> device, padded to a stable B."""
+        nq = np.asarray(batch["tokens"]).shape[0]
+        _qb_pad[0] = max(_qb_pad[0], nq)
+        vis = {}
+        for k in EVAL_VIS_KEYS:
+            if k not in batch:
+                continue
+            v = np.asarray(batch[k])[:, 0]
+            if _qb_pad[0] > nq:
+                v = np.concatenate(
+                    [v, np.zeros((_qb_pad[0] - nq,) + v.shape[1:], v.dtype)])
+            vis[k] = (jax.device_put(v, vis_sharding) if mesh is not None
+                      else jax.device_put(v))
+        return vis
+
+    def run_chunks(rows, step=None, chunk_size=None, vis=None, qidx=None):
         step = step or eval_step
-        collected = None
+        t0 = time.time()
+        if qidx is not None:
+            rows = dict(rows, _qidx=np.asarray(qidx, np.int32))
+        pending = []
         for piece, valid in _chunk_rows(rows, chunk_size or chunk):
-            t0 = time.time()
+            q = piece.pop("_qidx", None)
             if mesh is not None:
                 piece = {k: jax.device_put(v, row_sharding)
                          for k, v in piece.items()}
+                if q is not None:
+                    q = jax.device_put(q, row_sharding)
+            # dispatch only — fetches are deferred so host packing and
+            # transfer of chunk k+1 overlap device compute of chunk k
+            outs = (step(model_params, piece, vis, q) if q is not None
+                    else step(model_params, piece))
+            pending.append((outs, valid))
+        collected = None
+        for outs, valid in pending:
             # one host fetch for all outputs (each np.asarray would be its
-            # own device->host round trip; latency-bound on tunneled backends)
-            outs = jax.device_get(step(model_params, piece))
+            # own device->host round trip; latency-bound on tunneled
+            # backends)
+            outs = jax.device_get(outs)
             if collected is None:
                 collected = [[] for _ in outs]
             for acc, o in zip(collected, outs):
                 acc.append(o[:valid])
-            inf_time[0] += time.time() - t0
+        inf_time[0] += time.time() - t0
         return [np.concatenate(a) for a in collected]
 
     for batch in dataloader:
@@ -535,8 +611,15 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
                 # pin it into the shortlist so its outputs exist
                 has_gt = (top_idx == gt_id[:, None]).any(axis=1)
                 top_idx[~has_gt, -1] = gt_id[~has_gt]
-            nsp_probs, reg_out, reg5, regl1 = run_chunks(
-                shortlist_rescore_rows(batch, top_idx), rank_step)
+            if dedup:
+                nsp_probs, reg_out, reg5, regl1 = run_chunks(
+                    shortlist_rescore_rows(batch, top_idx,
+                                           keys=EVAL_TEXT_KEYS),
+                    rank_step, vis=put_vis(batch),
+                    qidx=np.repeat(np.arange(B, dtype=np.int32), K))
+            else:
+                nsp_probs, reg_out, reg5, regl1 = run_chunks(
+                    shortlist_rescore_rows(batch, top_idx), rank_step)
             probs = np.where(
                 np.take_along_axis(cand_valid, top_idx, axis=1),
                 nsp_probs[:B * K].reshape(B, K), -np.inf)
@@ -602,8 +685,17 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_reg_out = np.full(len(ids), np.nan)
             ans_prob = np.full(len(ids), np.nan)
         else:
-            rows, offsets = _flatten_valid_rows(batch)
-            nsp_probs, reg_out, reg5, regl1 = run_chunks(rows)
+            if dedup:
+                rows, offsets = _flatten_valid_rows(batch,
+                                                    keys=EVAL_TEXT_KEYS)
+                qidx = np.repeat(
+                    np.arange(len(ids), dtype=np.int32),
+                    np.diff(offsets).astype(np.int64))
+                nsp_probs, reg_out, reg5, regl1 = run_chunks(
+                    rows, vis=put_vis(batch), qidx=qidx)
+            else:
+                rows, offsets = _flatten_valid_rows(batch)
+                nsp_probs, reg_out, reg5, regl1 = run_chunks(rows)
             # vectorized per-question (segmented) argmax over candidate NSP
             # probs — replaces the reference's per-question Python loop
             # (evaluation.py:287-296); first-max tie-breaking preserved

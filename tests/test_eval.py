@@ -314,3 +314,38 @@ def test_evaluate_emits_prediction_records(eval_env):
         assert r["answer"] == (r.get("reg_output") if r["is_reg"]
                                else r["cls_output"])
         assert "gt_answer" in r
+
+
+def test_evaluate_dedup_matches_reference_layout(eval_env):
+    """The transfer-dedup path (per-question visual arrays shipped once and
+    re-expanded by a device gather — EVAL_VIS_KEYS) must reproduce the
+    reference-layout path bit for bit: same total/breakdown/histogram."""
+    params, ds, model, mp, loader = eval_env
+    t_d, b_d, h_d = evaluate(loader, ds, dict(params, eval_dedup=True),
+                             model, mp, csv=False, progress=False)
+    t_r, b_r, h_r = evaluate(loader, ds, dict(params, eval_dedup=False),
+                             model, mp, csv=False, progress=False)
+    np.testing.assert_array_equal(t_d, t_r)
+    np.testing.assert_array_equal(b_d, b_r)
+    np.testing.assert_array_equal(h_d, h_r)
+
+
+def test_eval_step_dedup_matches_expanded_rows(eval_env):
+    """make_eval_step_dedup(text rows + per-question vis + row_qidx) returns
+    the same per-row outputs as make_eval_step on the fully expanded rows."""
+    from crct_tpu.train.eval_loop import (EVAL_TEXT_KEYS, EVAL_VIS_KEYS,
+                                          make_eval_step,
+                                          make_eval_step_dedup)
+    params, ds, model, mp, loader = eval_env
+    batch = next(iter(loader))
+    rows, offsets = _flatten_valid_rows(batch)
+    text, _ = _flatten_valid_rows(batch, keys=EVAL_TEXT_KEYS)
+    qidx = np.repeat(np.arange(len(np.asarray(batch["id"]).reshape(-1)),
+                               dtype=np.int32),
+                     np.diff(offsets).astype(np.int64))
+    vis = {k: np.asarray(batch[k])[:, 0] for k in EVAL_VIS_KEYS
+           if k in batch}
+    ref = make_eval_step(model)(mp, rows)
+    ded = make_eval_step_dedup(model)(mp, text, vis, qidx)
+    for r, d in zip(ref, ded):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(d))
