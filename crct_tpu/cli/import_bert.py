@@ -15,6 +15,9 @@ Usage:
     # from the HF hub (downloads + caches via transformers, like the
     # reference's cached_path; works offline once cached)
     python -m crct_tpu.cli.import_bert hf:bert-base-uncased out/bert_init.ckpt
+    # from a Google-released TensorFlow checkpoint (bert_model.ckpt prefix;
+    # the reference's from_tf path, vilbert.py:48-108)
+    python -m crct_tpu.cli.import_bert tf:uncased_L-12/bert_model.ckpt out/b
 """
 
 from __future__ import annotations
@@ -34,13 +37,52 @@ def hf_state_dict(model_name: str):
             for k, v in model.state_dict().items()}
 
 
+def tf_state_dict(ckpt_prefix: str):
+    """Read a Google-released TensorFlow BERT checkpoint and emit the
+    torch-style state dict ``convert_torch_state_dict`` consumes — the
+    reference's ``load_tf_weights_in_bert`` path (vilbert.py:48-108):
+    optimizer slots skipped, ``layer_N``->``layer.N``, kernel->weight with
+    transpose (TF stores dense kernels [in, out]), gamma/beta->weight/bias,
+    bare ``*_embeddings`` tables get the ``.weight`` suffix."""
+    import re
+
+    import numpy as np
+    import tensorflow as tf
+
+    reader = tf.train.load_checkpoint(ckpt_prefix)
+    sd = {}
+    for name in sorted(reader.get_variable_to_shape_map()):
+        if any(s in name for s in ("adam_v", "adam_m", "global_step")):
+            continue                    # optimizer slots (vilbert.py:62-66)
+        arr = np.asarray(reader.get_tensor(name))
+        parts = []
+        for piece in name.split("/"):
+            m = re.fullmatch(r"layer_(\d+)", piece)
+            parts.append(f"layer.{m.group(1)}" if m else piece)
+        last = parts[-1]
+        if last == "kernel":
+            parts[-1], arr = "weight", arr.T
+        elif last in ("gamma", "output_weights"):
+            parts[-1] = "weight"
+        elif last in ("beta", "output_bias"):
+            parts[-1] = "bias"
+        elif last.endswith("_embeddings"):
+            parts.append("weight")      # vilbert.py:101-102
+        sd[".".join(parts)] = arr
+    return sd
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("src", help="HF pytorch_model.bin / torch state dict, or "
+    p.add_argument("src", help="HF pytorch_model.bin / torch state dict, "
                                "hf:<model-name> to pull through the "
-                               "transformers cache")
+                               "transformers cache, or tf:<ckpt-prefix> / a "
+                               "TF checkpoint prefix (<prefix>.index exists) "
+                               "for Google-released TensorFlow checkpoints")
     p.add_argument("dst", help="output checkpoint directory")
     args = p.parse_args(argv)
+
+    import os
 
     from crct_tpu.utils.checkpoint import save_checkpoint
     from crct_tpu.utils.convert import (convert_torch_state_dict,
@@ -48,6 +90,9 @@ def main(argv=None):
 
     if args.src.startswith("hf:"):
         sd = hf_state_dict(args.src[3:])
+    elif args.src.startswith("tf:") or os.path.exists(args.src + ".index"):
+        sd = tf_state_dict(args.src[3:] if args.src.startswith("tf:")
+                           else args.src)
     else:
         sd = load_torch_checkpoint(args.src)
     tree, skipped = convert_torch_state_dict(sd)

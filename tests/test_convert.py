@@ -128,6 +128,86 @@ def test_hf_bert_import_maps_text_stream():
         params["bert"]["v_embeddings"]["color_emb"]["embedding"])
 
 
+def test_tf_checkpoint_import_matches_torch_path(tmp_path):
+    """import_bert's tf:<prefix> path (the reference's from_tf /
+    load_tf_weights_in_bert, vilbert.py:48-108): a slash-named TF
+    checkpoint converts to the SAME tree as the equivalent torch state
+    dict — kernels transposed, gamma/beta renamed, optimizer slots and
+    heads skipped."""
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+    rng = np.random.default_rng(7)
+    H, FF, V, P = 8, 16, 32, 24
+    tf_vars = {
+        "bert/embeddings/word_embeddings": rng.random((V, H)),
+        "bert/embeddings/position_embeddings": rng.random((P, H)),
+        "bert/embeddings/token_type_embeddings": rng.random((2, H)),
+        "bert/embeddings/LayerNorm/gamma": rng.random(H),
+        "bert/embeddings/LayerNorm/beta": rng.random(H),
+        "bert/encoder/layer_0/attention/self/query/kernel": rng.random((H, H)),
+        "bert/encoder/layer_0/attention/self/query/bias": rng.random(H),
+        "bert/encoder/layer_0/attention/output/dense/kernel": rng.random((H, H)),
+        "bert/encoder/layer_0/attention/output/dense/bias": rng.random(H),
+        "bert/encoder/layer_0/attention/output/LayerNorm/gamma": rng.random(H),
+        "bert/encoder/layer_0/attention/output/LayerNorm/beta": rng.random(H),
+        "bert/encoder/layer_0/intermediate/dense/kernel": rng.random((H, FF)),
+        "bert/encoder/layer_0/intermediate/dense/bias": rng.random(FF),
+        "bert/encoder/layer_0/output/dense/kernel": rng.random((FF, H)),
+        "bert/encoder/layer_0/output/dense/bias": rng.random(H),
+        "bert/encoder/layer_0/output/LayerNorm/gamma": rng.random(H),
+        "bert/encoder/layer_0/output/LayerNorm/beta": rng.random(H),
+        "bert/pooler/dense/kernel": rng.random((H, H)),
+        "bert/pooler/dense/bias": rng.random(H),
+        "cls/seq_relationship/output_weights": rng.random((2, H)),
+        "cls/seq_relationship/output_bias": rng.random(2),
+        # optimizer slots the importer must skip (vilbert.py:62-66)
+        "bert/embeddings/word_embeddings/adam_m": rng.random((V, H)),
+        "bert/embeddings/word_embeddings/adam_v": rng.random((V, H)),
+        "global_step": np.asarray(100, np.int64),
+    }
+    prefix = str(tmp_path / "bert_model.ckpt")
+    g = tf1.Graph()
+    with g.as_default():
+        for name, arr in tf_vars.items():
+            tf1.get_variable(name, initializer=tf.constant(
+                arr, dtype=tf.int64 if arr.ndim == 0 else tf.float32))
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, prefix)
+
+    from crct_tpu.cli.import_bert import tf_state_dict
+    sd = tf_state_dict(prefix)
+    assert not any("adam" in k or "global_step" in k for k in sd)
+    # equivalent torch-style dict: same tensors under HF naming
+    torch_sd = {}
+    for name, arr in tf_vars.items():
+        if "adam" in name or name == "global_step":
+            continue
+        key = (name.replace("/", ".").replace("layer_0", "layer.0")
+               .replace("gamma", "weight").replace("beta", "bias")
+               .replace("output_weights", "weight")
+               .replace("output_bias", "bias"))
+        if key.endswith("_embeddings"):
+            key += ".weight"
+        if name.endswith("kernel"):
+            key, arr = key.replace(".kernel", ".weight"), arr.T
+        torch_sd[key] = arr
+    tf_tree, tf_skipped = convert_torch_state_dict(sd)
+    torch_tree, torch_skipped = convert_torch_state_dict(torch_sd)
+    assert len(tf_skipped) == len(torch_skipped)
+    flat_tf = jax.tree_util.tree_leaves_with_path(tf_tree)
+    flat_torch = dict(jax.tree_util.tree_leaves_with_path(torch_tree))
+    assert flat_tf and len(flat_tf) == len(flat_torch)
+    for path, leaf in flat_tf:
+        np.testing.assert_array_equal(leaf, flat_torch[path])
+    # the transposed kernel really landed as a flax [in, out] kernel
+    np.testing.assert_allclose(
+        tf_tree["bert"]["encoder"]["t_layer_0"]["attention"]["query"]["kernel"],
+        tf_vars["bert/encoder/layer_0/attention/self/query/kernel"],
+        rtol=1e-6)
+
+
 def test_hf_hub_acquisition_path(monkeypatch):
     """import_bert's hf:<name> path: a transformers BertModel's state dict
     (built locally — no network) maps onto the text stream, mirroring the
