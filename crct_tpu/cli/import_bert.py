@@ -52,7 +52,8 @@ def tf_state_dict(ckpt_prefix: str):
     reader = tf.train.load_checkpoint(ckpt_prefix)
     sd = {}
     for name in sorted(reader.get_variable_to_shape_map()):
-        if any(s in name for s in ("adam_v", "adam_m", "global_step")):
+        if any(p in ("adam_v", "adam_m", "global_step")
+               for p in name.split("/")):
             continue                    # optimizer slots (vilbert.py:62-66)
         arr = np.asarray(reader.get_tensor(name))
         parts = []

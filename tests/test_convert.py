@@ -136,7 +136,11 @@ def test_tf_checkpoint_import_matches_torch_path(tmp_path):
     heads skipped."""
     tf = pytest.importorskip("tensorflow")
     tf1 = tf.compat.v1
-    rng = np.random.default_rng(7)
+    _rng64 = np.random.default_rng(7)
+    # float32 from the start: TF stores f32, so f64 inputs would round on
+    # save and break the exact comparison against the unrounded originals
+    rng = type("R", (), {"random": staticmethod(
+        lambda *s: _rng64.random(*s).astype(np.float32))})
     H, FF, V, P = 8, 16, 32, 24
     tf_vars = {
         "bert/embeddings/word_embeddings": rng.random((V, H)),

@@ -121,7 +121,12 @@ def main():
                 T["put_vis"] += time.perf_counter() - t
 
                 pending = []
-                for piece, valid in el._chunk_rows(rows, chunk):
+                t = time.perf_counter()
+                # materialize so the slice+pad cost lands in 'pack', not in
+                # the untimed generator advance at the loop head
+                chunks = list(el._chunk_rows(rows, chunk))
+                T["pack"] += time.perf_counter() - t
+                for piece, valid in chunks:
                     n_chunks += 1
                     t = time.perf_counter()
                     q = piece.pop("_qidx")
