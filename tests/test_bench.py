@@ -58,6 +58,60 @@ def test_backend_down_fallback_prints_last_good():
     assert snap["result"]["value"] == line["value"]
 
 
+def test_run_guarded_contention_self_check():
+    """The bench self-guard (VERDICT r4 #9): a guarded metric >30% below
+    the last-good snapshot re-runs its section once; a persistent drop is
+    annotated in aux.suspect_host_contention instead of being silently
+    committed; a transient drop (retry recovers) is NOT annotated; and a
+    contention-flagged result never refreshes the last-good snapshot."""
+    import json
+
+    import bench
+
+    # persistent drop: retried once, then annotated
+    calls = []
+    def bad():
+        calls.append(1)
+        return {"m": 10.0, "extra": 1}
+    aux = {}
+    bench._run_guarded(aux, bad, ("m",), {"m": 100.0}, "sec")
+    assert len(calls) == 2
+    assert aux["m"] == 10.0 and aux["extra"] == 1
+    assert aux["suspect_host_contention"] == ["sec:m 10.0 vs last_good 100.0"]
+
+    # transient drop: retry recovers, no annotation, better run kept
+    calls = []
+    def flaky():
+        calls.append(1)
+        return {"m": 10.0 if len(calls) == 1 else 95.0}
+    aux = {}
+    bench._run_guarded(aux, flaky, ("m",), {"m": 100.0}, "sec")
+    assert len(calls) == 2
+    assert aux["m"] == 95.0 and "suspect_host_contention" not in aux
+
+    # healthy: single run, no annotation; and no last-good key -> no retry
+    calls = []
+    def ok():
+        calls.append(1)
+        return {"m": 80.0}
+    aux = {}
+    bench._run_guarded(aux, ok, ("m",), {"m": 100.0}, "sec")
+    assert len(calls) == 1 and aux["m"] == 80.0
+    calls = []
+    aux = {}
+    bench._run_guarded(aux, ok, ("m",), {}, "sec")
+    assert len(calls) == 1
+
+    # a contention-flagged run must not refresh BENCH_LAST_GOOD
+    with open(bench._last_good_path()) as f:
+        before = json.load(f)
+    bench._save_last_good(
+        {"value": 1.0, "aux": {"suspect_host_contention": ["x"]}},
+        platform="axon")
+    with open(bench._last_good_path()) as f:
+        assert json.load(f) == before
+
+
 @pytest.mark.slow
 def test_serve_bench_smoke():
     """tools/serve_bench.py end-to-end on CPU with the tiny model: the
