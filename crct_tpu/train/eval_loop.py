@@ -116,6 +116,27 @@ def make_fast_eval_step(model: CRCTModel):
     return jax.jit(eval_step)
 
 
+def make_fast_eval_step_dedup(model: CRCTModel):
+    """`make_fast_eval_step` over transfer-deduplicated inputs: per-question
+    text rows plus the SAME per-question visual arrays the rescore stage
+    uses, re-joined on device with one gather. This lets the topk path ship
+    image_feat (~98% of the bytes) ONCE per loader batch instead of twice
+    (fast pass + put_vis) — measured 0.77 s fast_put + 0.54 s put_vis of a
+    2.43 s 240-question topk-8 pass on the tunneled v5e before this path
+    existed. Outputs are bit-identical to `make_fast_eval_step` on the
+    joined rows."""
+    import jax.numpy as jnp
+
+    def eval_step(params, text_rows, vis, row_qidx):
+        rows = dict(text_rows)
+        for k, v in vis.items():
+            rows[k] = jnp.take(v, row_qidx, axis=0)
+        out = model.apply({"params": params}, rows, train=False)
+        return out.cand_logits, out.reg_output, out.reg_5_dist, out.reg_l1
+
+    return jax.jit(eval_step)
+
+
 # Compiled-step memo: ``evaluate()`` is called repeatedly with the same model
 # object (per-epoch in-train eval, resumed CLI eval) and a fresh jax.jit
 # wrapper per call would recompile the whole eval graph each time. Keyed by
@@ -133,6 +154,7 @@ def _cached_eval_step(model: CRCTModel, kind: str) -> Callable:
     if hit is not None and hit[0] is model:
         return hit[1]
     step = (make_fast_eval_step(model) if kind == "fast" else
+            make_fast_eval_step_dedup(model) if kind == "fast_dedup" else
             make_eval_step_dedup(model) if kind == "rank_dedup" else
             make_eval_step(model))
     while len(_STEP_CACHE) >= _STEP_CACHE_MAX:
@@ -523,8 +545,28 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
     # identical either way (the device gather rebuilds the exact rows).
     dedup = bool(params.get("eval_dedup", True)) and not binary
     rank_kind = "rank_dedup" if dedup else "rank"
-    eval_step = _cached_eval_step(model, "fast" if fast else rank_kind)
+    fast_kind = "fast_dedup" if dedup else "fast"
+    eval_step = _cached_eval_step(model, fast_kind if fast else rank_kind)
     rank_step = _cached_eval_step(model, rank_kind) if topk else None
+    # bf16 models cast image_feat to bf16 on device anyway
+    # (vilbert.py::ImageEmbeddings `image_feat.astype(self.dtype)`), so for
+    # them the host can pre-cast before the transfer: image_feat is ~98% of
+    # eval transfer bytes and the tunnel/PCIe link is the measured
+    # bottleneck of the topk path. Bit-identical numerics (same RTNE cast,
+    # just on the other side of the link). JSON-config `eval_bf16_transfer:
+    # false` opts out.
+    bf16_transfer = (bool(params.get("eval_bf16_transfer", True))
+                     and str(getattr(getattr(model, "config", None),
+                                     "dtype", "")) == "bfloat16")
+    if bf16_transfer:
+        from ml_dtypes import bfloat16 as _bf16_np
+
+    def cast_feat(arrs):
+        if bf16_transfer and "image_feat" in arrs:
+            arrs = dict(arrs)
+            arrs["image_feat"] = np.asarray(arrs["image_feat"]).astype(
+                _bf16_np)
+        return arrs
     regs_mode = bool(params.get("qa_file")) and "_REGS" in str(params["qa_file"])
 
     breakdown = np.zeros((5, 4, 3, 3), np.float64)
@@ -549,6 +591,8 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             if k not in batch:
                 continue
             v = np.asarray(batch[k])[:, 0]
+            if k == "image_feat" and bf16_transfer:
+                v = v.astype(_bf16_np)
             if _qb_pad[0] > nq:
                 v = np.concatenate(
                     [v, np.zeros((_qb_pad[0] - nq,) + v.shape[1:], v.dtype)])
@@ -556,7 +600,12 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
                       else jax.device_put(v))
         return vis
 
-    def run_chunks(rows, step=None, chunk_size=None, vis=None, qidx=None):
+    def dispatch_chunks(rows, step=None, chunk_size=None, vis=None,
+                        qidx=None):
+        """Transfer + dispatch every chunk; fetches are deferred (see
+        collect_chunks) so host packing of chunk k+1 overlaps device
+        compute of chunk k — and, in the topk pipeline, so a later
+        stage's dispatches can queue behind these before any fetch."""
         step = step or eval_step
         t0 = time.time()
         if qidx is not None:
@@ -564,16 +613,20 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         pending = []
         for piece, valid in _chunk_rows(rows, chunk_size or chunk):
             q = piece.pop("_qidx", None)
+            piece = cast_feat(piece)
             if mesh is not None:
                 piece = {k: jax.device_put(v, row_sharding)
                          for k, v in piece.items()}
                 if q is not None:
                     q = jax.device_put(q, row_sharding)
-            # dispatch only — fetches are deferred so host packing and
-            # transfer of chunk k+1 overlap device compute of chunk k
             outs = (step(model_params, piece, vis, q) if q is not None
                     else step(model_params, piece))
             pending.append((outs, valid))
+        inf_time[0] += time.time() - t0
+        return pending
+
+    def collect_chunks(pending):
+        t0 = time.time()
         collected = None
         for outs, valid in pending:
             # one host fetch for all outputs (each np.asarray would be its
@@ -587,7 +640,104 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         inf_time[0] += time.time() - t0
         return [np.concatenate(a) for a in collected]
 
-    for batch in dataloader:
+    def run_chunks(rows, step=None, chunk_size=None, vis=None, qidx=None):
+        return collect_chunks(dispatch_chunks(rows, step, chunk_size, vis,
+                                              qidx))
+
+    def _topk_stage2(batch, ids, gt_id, frows):
+        """Fast logits fetched -> shortlist -> dispatch the rescore
+        (returns the in-flight state; outputs collected in _topk_finish)."""
+        cand_valid = frows["cand_valid"] > 0                # [B, P]
+        cand_logits = frows.pop("_cand_logits")
+        B, P = cand_logits.shape
+        K = min(topk, P)
+        top_idx = np.argsort(-cand_logits, axis=1, kind="stable")[:, :K]
+        if regs_mode:
+            # regression-only eval scores the GT candidate's row;
+            # pin it into the shortlist so its outputs exist
+            has_gt = (top_idx == gt_id[:, None]).any(axis=1)
+            top_idx[~has_gt, -1] = gt_id[~has_gt]
+        if dedup:
+            # vis is already on device from the fast pass
+            pend = dispatch_chunks(
+                shortlist_rescore_rows(batch, top_idx,
+                                       keys=EVAL_TEXT_KEYS),
+                rank_step, vis=frows["_vis"],
+                qidx=np.repeat(np.arange(B, dtype=np.int32), K))
+        else:
+            pend = dispatch_chunks(
+                shortlist_rescore_rows(batch, top_idx), rank_step)
+        return (batch, ids, gt_id, cand_valid, top_idx, K, pend)
+
+    def _topk_finish(st):
+        batch, ids, gt_id, cand_valid, top_idx, K, pend = st
+        nsp_probs, reg_out, reg5, regl1 = collect_chunks(pend)
+        B = top_idx.shape[0]
+        probs = np.where(
+            np.take_along_axis(cand_valid, top_idx, axis=1),
+            nsp_probs[:B * K].reshape(B, K), -np.inf)
+        if regs_mode:
+            best_k = np.argmax(top_idx == gt_id[:, None], axis=1)
+            answers_idx = gt_id.astype(np.int64)
+        else:
+            # break prob ties by CANDIDATE index (the full protocol's
+            # segmented_argmax picks the first max in candidate order;
+            # argmax over shortlist order would pick by fast-head rank)
+            corder = np.argsort(top_idx, axis=1, kind="stable")
+            probs_c = np.take_along_axis(probs, corder, axis=1)
+            bk0 = np.argmax(probs_c, axis=1)
+            best_k = np.take_along_axis(corder, bk0[:, None],
+                                        axis=1)[:, 0]
+            answers_idx = np.take_along_axis(
+                top_idx, best_k[:, None], axis=1)[:, 0]
+        sel = np.arange(B) * K + best_k
+        nonempty = np.isfinite(probs).any(axis=1)
+        return batch, (answers_idx,
+                       (answers_idx == gt_id) & nonempty,
+                       np.where(nonempty, reg5[sel], np.inf),
+                       np.where(nonempty, regl1[sel], np.inf),
+                       np.where(nonempty, reg_out[sel], np.nan),
+                       probs[np.arange(B), best_k])
+
+    def _topk_batches():
+        """Shortlist-then-rescore, software-pipelined one batch deep:
+        while the device rescores batch k, the host builds + dispatches
+        the fast pass of batch k+1 (its chunks queue behind the rescore),
+        and batch k's outputs are collected only after that. Measured on
+        the tunneled v5e: the un-pipelined loop left the device idle
+        during every fetch/argsort/build segment. Exact reference
+        numerics whenever the true answer makes the shortlist
+        (fig_dataloader.py:282-291)."""
+        inflight = None
+        for batch in dataloader:
+            ids = np.asarray(batch["id"]).reshape(-1)
+            if ids.shape[0] == 0:
+                continue
+            gt_id = np.asarray(batch["gt_id"]).reshape(-1)
+            frows = build_fast_rows(batch)
+            if dedup:
+                vis = put_vis(batch)
+                ftext = {k: v for k, v in frows.items()
+                         if k not in EVAL_VIS_KEYS}
+                fpend = dispatch_chunks(
+                    ftext, chunk_size=qchunk, vis=vis,
+                    qidx=np.arange(len(ids), dtype=np.int32))
+                frows["_vis"] = vis
+            else:
+                fpend = dispatch_chunks(frows, chunk_size=qchunk)
+            if inflight is not None:
+                yield _topk_finish(inflight)
+            frows["_cand_logits"] = collect_chunks(fpend)[0]
+            inflight = _topk_stage2(batch, ids, gt_id, frows)
+        if inflight is not None:
+            yield _topk_finish(inflight)
+
+    if fast and topk:
+        batch_iter = _topk_batches()
+    else:
+        batch_iter = ((b, None) for b in dataloader)
+
+    for batch, _topk_pre in batch_iter:
         ids = np.asarray(batch["id"]).reshape(-1)
         if ids.shape[0] == 0:
             continue
@@ -596,60 +746,21 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         gt_id = np.asarray(batch["gt_id"]).reshape(-1)
 
         if fast and topk:
-            # shortlist-then-rescore: fast head picks K candidates, the
-            # FULL model scores only those K rows (exact reference
-            # numerics whenever the true answer makes the shortlist)
-            frows = build_fast_rows(batch)
-            cand_valid = frows["cand_valid"] > 0            # [B, P]
-            cand_logits, _, _, _ = run_chunks(frows, chunk_size=qchunk)
-            B, P = cand_logits.shape
-            K = min(topk, P)
-            top_idx = np.argsort(-cand_logits, axis=1,
-                                 kind="stable")[:, :K]
-            if regs_mode:
-                # regression-only eval scores the GT candidate's row;
-                # pin it into the shortlist so its outputs exist
-                has_gt = (top_idx == gt_id[:, None]).any(axis=1)
-                top_idx[~has_gt, -1] = gt_id[~has_gt]
-            if dedup:
-                nsp_probs, reg_out, reg5, regl1 = run_chunks(
-                    shortlist_rescore_rows(batch, top_idx,
-                                           keys=EVAL_TEXT_KEYS),
-                    rank_step, vis=put_vis(batch),
-                    qidx=np.repeat(np.arange(B, dtype=np.int32), K))
-            else:
-                nsp_probs, reg_out, reg5, regl1 = run_chunks(
-                    shortlist_rescore_rows(batch, top_idx), rank_step)
-            probs = np.where(
-                np.take_along_axis(cand_valid, top_idx, axis=1),
-                nsp_probs[:B * K].reshape(B, K), -np.inf)
-            if regs_mode:
-                best_k = np.argmax(top_idx == gt_id[:, None], axis=1)
-                answers_idx = gt_id.astype(np.int64)
-            else:
-                # break prob ties by CANDIDATE index (the full protocol's
-                # segmented_argmax picks the first max in candidate order;
-                # argmax over shortlist order would pick by fast-head rank)
-                corder = np.argsort(top_idx, axis=1, kind="stable")
-                probs_c = np.take_along_axis(probs, corder, axis=1)
-                bk0 = np.argmax(probs_c, axis=1)
-                best_k = np.take_along_axis(corder, bk0[:, None],
-                                            axis=1)[:, 0]
-                answers_idx = np.take_along_axis(
-                    top_idx, best_k[:, None], axis=1)[:, 0]
-            sel = np.arange(B) * K + best_k
-            nonempty = np.isfinite(probs).any(axis=1)
-            ans_reg5 = np.where(nonempty, reg5[sel], np.inf)
-            ans_regl1 = np.where(nonempty, regl1[sel], np.inf)
-            ans_reg_out = np.where(nonempty, reg_out[sel], np.nan)
-            nsp_right = (answers_idx == gt_id) & nonempty
-            ans_prob = probs[np.arange(B), best_k]
+            (answers_idx, nsp_right, ans_reg5, ans_regl1, ans_reg_out,
+             ans_prob) = _topk_pre
         elif fast:
             # one backbone pass per question + light candidate head; the
             # regression outputs come from the same answer-masked pass
             frows = build_fast_rows(batch)
-            cand_logits, ans_reg_out, ans_reg5, ans_regl1 = run_chunks(
-                frows, chunk_size=qchunk)
+            if dedup:
+                ftext = {k: v for k, v in frows.items()
+                         if k not in EVAL_VIS_KEYS}
+                cand_logits, ans_reg_out, ans_reg5, ans_regl1 = run_chunks(
+                    ftext, chunk_size=qchunk, vis=put_vis(batch),
+                    qidx=np.arange(len(ids), dtype=np.int32))
+            else:
+                cand_logits, ans_reg_out, ans_reg5, ans_regl1 = run_chunks(
+                    frows, chunk_size=qchunk)
             if regs_mode:
                 answers_idx = gt_id.astype(np.int64)
             else:

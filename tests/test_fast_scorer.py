@@ -205,3 +205,38 @@ def test_fast_modes_emit_prediction_records(fast_env):
             assert r["cls_output"] in opts, extra
             assert r["confidence"] is None or 0 <= r["confidence"] <= 1
     ds.get_all_answers = False
+
+
+def test_bf16_transfer_precast_is_bit_identical(tmp_path):
+    """For a bfloat16 model, pre-casting image_feat to bf16 on the HOST
+    before the transfer (eval_bf16_transfer, default on) must be
+    bit-identical to shipping f32 and casting on device — the model's
+    first touch of image_feat is `image_feat.astype(self.dtype)`
+    (vilbert.py::ImageEmbeddings), the exact same RTNE cast. Covers the
+    fast-only, topk-rescore and full-protocol paths."""
+    import functools
+
+    params = synthetic_params(tmp_path, n_images=4, division=4,
+                              n_questions=3, feat_dim=32,
+                              eval_batch_size=16)
+    params["fast_scorer"] = True
+    ds = ChartQADataset(params, ["val"], init_split="val")
+    ds.get_all_answers = True
+    cfg = tiny_model_config(v_feature_size=32, dtype="bfloat16")
+    model = CRCTModel(config=cfg, categories=params["categories"],
+                      fast_scorer=True)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    sample = next(iter(loader))
+    rows = {k: jnp.asarray(v) for k, v in build_fast_rows(sample).items()}
+    mp = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.key(0)}, rows)["params"]
+    for extra in ({}, {"fast_scorer_topk": 4},
+                  {"fast_scorer": False, "fast_scorer_topk": 0}):
+        on = evaluate(loader, ds, dict(params, **extra), model, mp,
+                      csv=False, log_print=lambda m: None)
+        off = evaluate(loader, ds,
+                       dict(params, eval_bf16_transfer=False, **extra),
+                       model, mp, csv=False, log_print=lambda m: None)
+        np.testing.assert_array_equal(on[0], off[0], err_msg=str(extra))
+        np.testing.assert_array_equal(on[1], off[1], err_msg=str(extra))
