@@ -236,10 +236,13 @@ def _flatten_valid_rows(batch: Dict[str, Any], keys=ROW_KEYS
     return rows, offsets
 
 
-# Rows per chip at which the eval step is measured compute-bound on v5e
-# (docs/BENCHMARKS.md: 480 rows already sustains ~1990 rows/s/chip; the
-# reference default of 10 is latency-dominated on a tunneled backend).
-EVAL_AUTO_ROWS_PER_CHIP = 480
+# Rows per chip per eval dispatch. Chosen by the end-to-end sweep
+# (tools/eval_chunk_sweep.py, docs/BENCHMARKS.md "eval chunk sweep"):
+# evaluate() measures 39.8/40.2/39.2/37.8 q/s at 120/240/480/960 on v5e —
+# near-flat because deferred fetches already overlap dispatch latency;
+# 240 is the nominal winner and halves worst-case pad waste vs 480.
+# The reference default of 10 is latency-dominated on a tunneled backend.
+EVAL_AUTO_ROWS_PER_CHIP = 240
 
 
 def resolve_eval_chunk(params: Dict[str, Any]) -> int:

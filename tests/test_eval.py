@@ -188,7 +188,8 @@ def test_segmented_argmax_empty_segment():
 
 def test_resolve_eval_chunk_auto_scales_and_respects_explicit():
     """VERDICT r2 weak #4/#8: default eval dispatch must be compute-sized
-    (~480 rows x chip), with -eval_batch_size kept as a parity override."""
+    (EVAL_AUTO_ROWS_PER_CHIP x chip; 240 per the r5 end-to-end sweep),
+    with -eval_batch_size kept as a parity override."""
     from crct_tpu.train.eval_loop import (EVAL_AUTO_ROWS_PER_CHIP,
                                           resolve_eval_chunk,
                                           resolve_eval_question_batch)
