@@ -64,9 +64,10 @@ import numpy as np
 from crct_tpu.data.dataset import ChartQADataset, collate
 from crct_tpu.data.example_builder import REG_TOKEN
 from crct_tpu.models.crct import build_model
-from crct_tpu.train.eval_loop import (_chunk_rows, _flatten_valid_rows,
-                                      make_eval_step, resolve_eval_chunk,
-                                      segmented_argmax)
+from crct_tpu.train.eval_loop import (EVAL_TEXT_KEYS, EVAL_VIS_KEYS,
+                                      _chunk_rows, _flatten_valid_rows,
+                                      make_eval_step, make_eval_step_dedup,
+                                      resolve_eval_chunk, segmented_argmax)
 from crct_tpu.utils.checkpoint import load_checkpoint, transfer_params
 
 
@@ -118,7 +119,25 @@ class QAScorer:
         self.params = params
         self.dataset = dataset
         self.model = model if model is not None else build_model(params)
-        self.eval_step = make_eval_step(self.model)
+        # transfer-deduplicated dispatch (the eval engine's default, see
+        # train/eval_loop.py): per-question visual arrays ship once and
+        # re-expand on device. Without it every candidate row carried its
+        # own image_feat copy -- measured 1.25 s/question sequential on
+        # the tunneled v5e (~83 MB per 480-row dispatch), which bounded
+        # the whole serving stack at ~3 q/s.
+        self.dedup = bool(params.get("eval_dedup", True))
+        self.eval_step = (make_eval_step_dedup(self.model) if self.dedup
+                          else make_eval_step(self.model))
+        # bf16 models: pre-cast image_feat on the host (bit-identical --
+        # the model's first touch is astype(self.dtype); see eval_loop)
+        self.bf16_transfer = (
+            bool(params.get("eval_bf16_transfer", True))
+            and str(getattr(getattr(self.model, "config", None),
+                            "dtype", "")) == "bfloat16")
+        # pad the question axis of vis arrays to multiples of this so the
+        # dedup executable count stays bounded under varying coalesced
+        # batch sizes
+        self.vis_pad = max(1, int(params.get("serve_max_batch", 32)))
         self.chunk = resolve_eval_chunk(params)
         self.fast = bool(params.get("fast_scorer"))
         self.topk = int(params.get("fast_scorer_topk") or 0) \
@@ -200,16 +219,47 @@ class QAScorer:
             # numpy args on EVERY dispatch — pin them on device once
             self.model_params = jax.device_put(self.model_params)
 
+    def _vis_from_batch(self, batch: Dict[str, Any]):
+        """Per-question visual arrays -> device once per coalesced batch
+        (the dedup transfer layout of train/eval_loop.py). The question
+        axis pads to multiples of ``vis_pad`` so varying coalesced batch
+        sizes reuse a bounded set of compiled shapes."""
+        nq = np.asarray(batch["tokens"]).shape[0]
+        padded = -(-nq // self.vis_pad) * self.vis_pad
+        vis = {}
+        for k in EVAL_VIS_KEYS:
+            if k not in batch:
+                continue
+            v = np.asarray(batch[k])[:, 0]
+            if k == "image_feat" and self.bf16_transfer:
+                from ml_dtypes import bfloat16
+                v = v.astype(bfloat16)
+            if padded > nq:
+                v = np.concatenate(
+                    [v, np.zeros((padded - nq,) + v.shape[1:], v.dtype)])
+            if self.mesh is not None:
+                from crct_tpu.parallel.mesh import replicated_sharding
+                vis[k] = jax.device_put(v, replicated_sharding(self.mesh))
+            else:
+                vis[k] = jax.device_put(v)
+        return vis
+
     def _run_chunks(self, rows: Dict[str, np.ndarray], step=None,
-                    chunk: int = 0):
+                    chunk: int = 0, vis=None, qidx=None):
         """Dispatch rows through a jitted step (default: the full-model
         eval step at ``self.chunk`` rows) in fixed-size pieces; ONE host
         fetch per dispatch. Returns the first two outputs, trimmed and
-        concatenated."""
+        concatenated. ``vis``/``qidx`` select the dedup signature
+        (text rows + per-question visual arrays + row->question index)."""
         step = step or self.eval_step
+        if qidx is not None:
+            rows = dict(rows, _qidx=np.asarray(qidx, np.int32))
         a_list, b_list = [], []
         for piece, valid in _chunk_rows(rows, chunk or self.chunk):
-            out = step(self.model_params, self._shard(piece))
+            piece = self._shard(piece)
+            q = piece.pop("_qidx", None)
+            out = (step(self.model_params, piece, vis, q)
+                   if q is not None else step(self.model_params, piece))
             a, b = jax.device_get((out[0], out[1]))
             a_list.append(np.asarray(a)[:valid])
             b_list.append(np.asarray(b)[:valid])
@@ -284,9 +334,21 @@ class QAScorer:
                     top: int) -> List[Dict[str, Any]]:
         """Reference protocol: every valid candidate row through the full
         model, per-question segmented argmax (train/eval_loop.py)."""
-        rows, offsets = _flatten_valid_rows(batch)
-        self._ensure_params(rows)
-        nsp, reg_out = self._run_chunks(rows)
+        if self.dedup:
+            if self.model_params is None:
+                full_rows, _ = _flatten_valid_rows(batch)
+                self._ensure_params(full_rows)
+            rows, offsets = _flatten_valid_rows(batch, keys=EVAL_TEXT_KEYS)
+            qidx = np.repeat(
+                np.arange(len(np.asarray(batch["num_ans"]).reshape(-1)),
+                          dtype=np.int32),
+                np.diff(offsets).astype(np.int64))
+            nsp, reg_out = self._run_chunks(
+                rows, vis=self._vis_from_batch(batch), qidx=qidx)
+        else:
+            rows, offsets = _flatten_valid_rows(batch)
+            self._ensure_params(rows)
+            nsp, reg_out = self._run_chunks(rows)
         num_ans = np.asarray(batch["num_ans"]).reshape(-1)
         B = len(num_ans)
         needs_reg = (np.asarray(batch["needs_reg"])
@@ -331,8 +393,15 @@ class QAScorer:
             K = min(self.topk, P)
             top_idx = np.argsort(-cand_logits, axis=1,
                                  kind="stable")[:, :K]
-            nsp, reg_out = self._run_chunks(
-                shortlist_rescore_rows(batch, top_idx))
+            if self.dedup:
+                nsp, reg_out = self._run_chunks(
+                    shortlist_rescore_rows(batch, top_idx,
+                                           keys=EVAL_TEXT_KEYS),
+                    vis=self._vis_from_batch(batch),
+                    qidx=np.repeat(np.arange(B, dtype=np.int32), K))
+            else:
+                nsp, reg_out = self._run_chunks(
+                    shortlist_rescore_rows(batch, top_idx))
             probs = np.where(
                 np.take_along_axis(cand_valid, top_idx, axis=1),
                 nsp[:B * K].reshape(B, K), -np.inf)
@@ -477,6 +546,11 @@ class QAServer(ThreadingHTTPServer):
     """ThreadingHTTPServer carrying the scorer, batcher and question index."""
 
     daemon_threads = True
+    # socketserver's default listen backlog of 5 drops connections
+    # (ConnectionResetError client-side) the moment more than a handful of
+    # clients connect in the same batching window — exactly the burst
+    # pattern dynamic batching invites
+    request_queue_size = 128
 
     def __init__(self, addr, scorer: QAScorer, *, max_batch: int = 32,
                  max_delay_ms: float = 5.0, timeout_s: float = 120.0,
