@@ -487,16 +487,23 @@ class ExampleBuilder:
             # tolerance here and then DISCARDS it (fig_dataloader.py:608-609
             # — a dead local); R[2] always carries the constant -tol_margin.
             # We skip the dead computation; behavior is identical.
-            y_length = [abs(float(v) / float(p)) for v, p in yt]
+            # real-OCR robustness: a misread tick can carry p == 0 (skip
+            # it) or all-zero values (y scale 0) — either would crash the
+            # reference formula with a Python ZeroDivisionError; such a
+            # chart degrades to the same fallback scale as the no-ticks
+            # case instead of killing the run (hit by --OCR extraction,
+            # reference surface Detector/extract_features.py:579-627)
+            y_length = [abs(float(v) / float(p)) for v, p in yt
+                        if float(p) != 0]
             if params['BOT_MODE'] and qa_pair['answer'] is None:
                 gt_value = 1.0
             else:
                 gt_value = float(item['gt'])
-            if len(y_length) == 0:
+            y = float(np.mean(y_length)) if y_length else 0.0
+            if y == 0 or not np.isfinite(y):
                 item['R'] = [gt_value, True, 1.0,
                              float(item['gt']) if float(item['gt']) != 0 else 1.0]
             else:
-                y = float(np.mean(y_length))
                 item['R'] = [gt_value, True, params['tol_margin'], y]
             item['gt'] = np.asarray([gt_value], np.float32)
             item['reg_target'] = np.asarray([item['R'][0] / item['R'][3]], np.float32)

@@ -235,3 +235,41 @@ def test_negatives_resample_across_epochs(tmp_path):
     # and resampled across epochs (some negative draw must differ)
     assert any(not np.array_equal(a, b) for a, b in zip(e0a, e1)), \
         "negative sampling identical across epochs"
+
+
+def test_zero_y_scale_degrades_not_crashes(env):
+    """Real-OCR robustness (hit by --OCR extraction): misread ticks can
+    produce p == 0 entries (reference formula: ZeroDivisionError) or
+    all-zero tick values (y scale 0 -> reg_target division crash). Both
+    must degrade to the no-ticks fallback scale (R[2]=1.0, R[3]=gt or
+    1.0) instead of killing the run. Reference surface:
+    Detector/extract_features.py:579-627 + fig_dataloader.py:600-612."""
+    import copy
+
+    params, ds = env
+    ds.split = "train"
+    for i in range(ds.orig_len()):
+        qa = ds.get_qa(i)
+        if isinstance(qa["answer"], float):
+            fig = copy.deepcopy(ds.get_fig_feat(qa["image_index"]))
+            rng = np.random.default_rng(0)
+            # case 1: every tick value reads as 0 -> y scale 0
+            fig["text_feat"]["y_axis"]["ticks"] = [
+                (0.0, float(l)) for _, l in
+                fig["text_feat"]["y_axis"]["ticks"]]
+            item = ds.builder.build(fig, qa, split="train", qa_ind=i,
+                                    rng=rng)
+            gt = float(qa["answer"])
+            assert item["needs_reg"][0]
+            assert item["R"][2] == 1.0
+            assert item["R"][3] == (gt if gt != 0 else 1.0)
+            assert np.isfinite(item["reg_target"][0])
+            # case 2: every tick position reads as 0 -> no usable ticks
+            fig["text_feat"]["y_axis"]["ticks"] = [
+                (float(v), 0.0) for v, _ in
+                fig["text_feat"]["y_axis"]["ticks"]]
+            item = ds.builder.build(fig, qa, split="train", qa_ind=i,
+                                    rng=rng)
+            assert item["R"][2] == 1.0 and np.isfinite(item["reg_target"][0])
+            return
+    pytest.fail("no regression question in fixture")

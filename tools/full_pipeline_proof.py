@@ -61,6 +61,17 @@ def main(argv=None):
                     help="train the detector with the parallel train-time "
                          "NMS (accuracy-equivalence evidence for the "
                          "--fast-nms opt-in)")
+    ap.add_argument("--score-thresh", type=float, default=0.0,
+                    help="override the --ocr extraction score threshold "
+                         "(default 0.05 for --ocr; raise it when "
+                         "--det-iters is high enough that confident "
+                         "detections exist -- weak duplicate text boxes "
+                         "are what poison OCR tick values)")
+    ap.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                    help="cpu (default; hermetic, runs anywhere) or "
+                         "'default' to use the session's real backend — "
+                         "on a TPU host the detector stage alone is "
+                         "~100x faster than the 1-core CPU path")
     ap.add_argument("--ocr", action="store_true",
                     help="extract with --OCR (real OCR on the rendered "
                          "pixels; the built-in template engine when "
@@ -74,7 +85,8 @@ def main(argv=None):
                  "separately so each result isolates one variable")
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     n_train, n_test = (8, 4) if args.fast else (48, 16)
     det_iters = args.det_iters or (12 if args.fast else 200)
@@ -140,7 +152,8 @@ def main(argv=None):
                  # boxes must come from the detector itself, and a
                  # few-hundred-iter detector's text scores sit well below
                  # the production 0.5 cut — records would poison
-                 + (["--score-thresh", "0.05"] if args.ocr else []))
+                 + (["--score-thresh",
+                     str(args.score_thresh or 0.05)] if args.ocr else []))
 
     # ---- stage 3+4: QA train on train split, evaluate on test ----------
     qa_root = os.path.join(root, "QA")
