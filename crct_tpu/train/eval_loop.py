@@ -735,8 +735,49 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
         if inflight is not None:
             yield _topk_finish(inflight)
 
+    def _rank_finish(st):
+        batch, offsets, pend = st
+        return batch, (collect_chunks(pend), offsets)
+
+    def _rank_batches():
+        """Full reference protocol, software-pipelined one batch deep
+        (same structure as _topk_batches): batch k+1's rows transfer +
+        dispatch before batch k's outputs are collected, so the device
+        keeps working through the host's flatten/vis-put/accounting
+        segments. Zero-candidate batches dispatch nothing and flush the
+        pipeline to preserve batch order. Reference bottleneck being
+        replaced: CRCT/evaluation.py:243-262."""
+        inflight = None
+        for batch in dataloader:
+            ids = np.asarray(batch["id"]).reshape(-1)
+            if ids.shape[0] == 0:
+                continue
+            if not np.any(np.asarray(batch["num_ans"]).reshape(-1) > 0):
+                if inflight is not None:
+                    yield _rank_finish(inflight)
+                    inflight = None
+                yield batch, None        # poisoned outputs, no dispatch
+                continue
+            if dedup:
+                rows, offsets = _flatten_valid_rows(batch,
+                                                    keys=EVAL_TEXT_KEYS)
+                qidx = np.repeat(
+                    np.arange(len(ids), dtype=np.int32),
+                    np.diff(offsets).astype(np.int64))
+                pend = dispatch_chunks(rows, vis=put_vis(batch), qidx=qidx)
+            else:
+                rows, offsets = _flatten_valid_rows(batch)
+                pend = dispatch_chunks(rows)
+            if inflight is not None:
+                yield _rank_finish(inflight)
+            inflight = (batch, offsets, pend)
+        if inflight is not None:
+            yield _rank_finish(inflight)
+
     if fast and topk:
         batch_iter = _topk_batches()
+    elif not fast and not binary:
+        batch_iter = _rank_batches()
     else:
         batch_iter = ((b, None) for b in dataloader)
 
@@ -799,7 +840,10 @@ def evaluate(dataloader, dataset, params: Dict[str, Any], model: CRCTModel,
             ans_reg_out = np.full(len(ids), np.nan)
             ans_prob = np.full(len(ids), np.nan)
         else:
-            if dedup:
+            if _topk_pre is not None:
+                # pipelined rank path: outputs already collected
+                (nsp_probs, reg_out, reg5, regl1), offsets = _topk_pre
+            elif dedup:
                 rows, offsets = _flatten_valid_rows(batch,
                                                     keys=EVAL_TEXT_KEYS)
                 qidx = np.repeat(
