@@ -143,10 +143,19 @@ class QAScorer:
         self.topk = int(params.get("fast_scorer_topk") or 0) \
             if self.fast else 0
         if self.fast:
-            from crct_tpu.train.eval_loop import (
-                make_fast_eval_step, resolve_eval_question_batch)
-            self.fast_step = make_fast_eval_step(self.model)
-            self.qchunk = resolve_eval_question_batch(params)
+            from crct_tpu.train.eval_loop import (make_fast_eval_step,
+                                                  make_fast_eval_step_dedup)
+            self.fast_step = (make_fast_eval_step_dedup(self.model)
+                              if self.dedup
+                              else make_fast_eval_step(self.model))
+            # serving sizes the fast dispatch to the BATCHER cap, not the
+            # eval CLI's loader-batch heuristic: a coalesced batch holds
+            # at most serve_max_batch questions, so one fast dispatch
+            # covers it with bounded padding. (An explicit -eval_batch_size
+            # used to leak in here: 480 meant every ~8-question coalesced
+            # batch padded into a 480-question backbone pass -- measured
+            # 0.8 q/s flagship vs 12.6 for the FULL protocol.)
+            self.qchunk = self.vis_pad
         # local-mesh data parallelism, like evaluate(): dispatch chunks
         # shard on the row axis across every local chip, params replicate
         # — one server saturates a multi-chip host
@@ -381,8 +390,17 @@ class QAScorer:
                                               shortlist_rescore_rows)
         frows = build_fast_rows(batch)
         self._ensure_params(frows)
-        cand_logits, reg_fast = self._run_chunks(frows, step=self.fast_step,
-                                                 chunk=self.qchunk)
+        if self.dedup:
+            vis = self._vis_from_batch(batch)
+            nq = len(np.asarray(batch["num_ans"]).reshape(-1))
+            ftext = {k: v for k, v in frows.items()
+                     if k not in EVAL_VIS_KEYS}
+            cand_logits, reg_fast = self._run_chunks(
+                ftext, step=self.fast_step, chunk=self.qchunk, vis=vis,
+                qidx=np.arange(nq, dtype=np.int32))
+        else:
+            cand_logits, reg_fast = self._run_chunks(
+                frows, step=self.fast_step, chunk=self.qchunk)
         num_ans = np.asarray(batch["num_ans"]).reshape(-1)
         B, P = cand_logits.shape
         needs_reg = (np.asarray(batch["needs_reg"])
@@ -394,10 +412,11 @@ class QAScorer:
             top_idx = np.argsort(-cand_logits, axis=1,
                                  kind="stable")[:, :K]
             if self.dedup:
+                # vis is already on device from the fast pass above
                 nsp, reg_out = self._run_chunks(
                     shortlist_rescore_rows(batch, top_idx,
                                            keys=EVAL_TEXT_KEYS),
-                    vis=self._vis_from_batch(batch),
+                    vis=vis, chunk=min(self.chunk, self.vis_pad * K),
                     qidx=np.repeat(np.arange(B, dtype=np.int32), K))
             else:
                 nsp, reg_out = self._run_chunks(

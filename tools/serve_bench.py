@@ -60,6 +60,12 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=480,
                     help="candidate rows per compiled eval dispatch "
                          "(bench.py uses 480/chip = compute-bound)")
+    ap.add_argument("--fast", type=int, default=0, metavar="K",
+                    help="serve with -fast_scorer -fast_scorer_topk K "
+                         "(throughput/latency only: the bench has no "
+                         "trained fast head, so ANSWERS are from a "
+                         "random shortlist head -- exact-protocol "
+                         "numerics require cli.train_fast_scorer)")
     ap.add_argument("--cpu", action="store_true", help="force CPU")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model config (smoke, pairs with --cpu)")
@@ -105,10 +111,15 @@ def main(argv=None):
         model_config=model_config, bf16=not args.tiny,
         serve_max_batch=args.max_batch, serve_max_delay_ms=5.0,
     )
+    if args.fast:
+        params["fast_scorer"] = True
+        params["fast_scorer_topk"] = args.fast
 
     print(f"[serve_bench] building server + warmup compile "
           f"(flagship={'no' if args.tiny else 'yes'}, "
-          f"chunk={args.chunk})...", flush=True)
+          f"chunk={args.chunk}"
+          + (f", fast topk={args.fast}" if args.fast else "")
+          + ")...", flush=True)
     t0 = time.perf_counter()
     server = make_server(params, port=0)
     print(f"[serve_bench] server ready in {time.perf_counter() - t0:.1f}s",
@@ -184,6 +195,7 @@ def main(argv=None):
             round(float(np.mean(batch_sizes)), 1) if batch_sizes else 0.0,
         "dispatches": int(server.scorer.dispatches),
         "eval_rows_per_dispatch": args.chunk,
+        "fast_topk": args.fast,
         "requests": n,
         "threads": args.threads,
         "wall_s": round(wall, 2),
